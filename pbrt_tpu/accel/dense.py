@@ -1,0 +1,278 @@
+"""Brute-force (dense) ray-scene intersection, blocked over primitives.
+
+For scenes with up to a few thousand primitives this beats any traversal
+structure on TPU: every ray tests every primitive in lockstep on the VPU with
+no divergence and no gathers in the inner loop. The per-block running minimum
+is carried through a lax.scan so peak memory is O(N_rays * BLOCK).
+
+Layout note (the TPU-critical choice): all inner-loop arithmetic is on
+(N_rays, BLOCK) component arrays — the primitive-block axis is the 128-lane
+vector dimension. A naive (N, B, 3) vector layout would put extent-3 on the
+lane axis and waste 42/43 of the VPU.
+
+Reference analogue: the ray-triangle test of
+/root/reference/src/pbrt/shapes.h:820-833 (Moller-Trumbore here; watertight
+Woop-style transform is a later refinement) and Sphere::Intersect quadrics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import cross, dot, normalize
+from ..shapes.geometry import GeometryBuffers, Interaction
+
+_TRI_BLOCK = 2048  # primitives per scan step; multiple of 128
+_LANE = 128
+_DET_EPS = 1e-12
+INF = jnp.inf
+
+
+def _pad_lanes(n: int) -> int:
+    return max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
+
+
+def _tri_soa(tri_verts):
+    """(T,3,3) -> component SOA padded to a lane multiple: dict of (Tp,) arrays."""
+    t = tri_verts.shape[0]
+    tp = _pad_lanes(t)
+    v0 = tri_verts[:, 0]
+    e1 = tri_verts[:, 1] - tri_verts[:, 0]
+    e2 = tri_verts[:, 2] - tri_verts[:, 0]
+    out = {}
+    for name, arr in (("v0", v0), ("e1", e1), ("e2", e2)):
+        for c, ax in (("x", 0), ("y", 1), ("z", 2)):
+            out[name + c] = jnp.pad(arr[:, ax], (0, tp - t))
+    return out, tp
+
+
+def _intersect_tri_block(o, d, tmax, blk):
+    """Moller-Trumbore on (N, B) component arrays.
+
+    o, d: (N, 3); tmax: (N,); blk: dict of (B,) triangle components.
+    Returns (t, u, v) each (N, B), t = inf where missed.
+    """
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # (N, 1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    e1x, e1y, e1z = blk["e1x"][None], blk["e1y"][None], blk["e1z"][None]  # (1, B)
+    e2x, e2y, e2z = blk["e2x"][None], blk["e2y"][None], blk["e2z"][None]
+    v0x, v0y, v0z = blk["v0x"][None], blk["v0y"][None], blk["v0z"][None]
+
+    # p = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz  # (N, B)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    # tvec = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # q = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+        & (t < tmax[:, None])
+    )
+    return jnp.where(hit, t, INF), u, v
+
+
+def _sph_soa(sph):
+    s = sph.shape[0]
+    sp = _pad_lanes(s)
+    out = {
+        "cx": jnp.pad(sph[:, 0], (0, sp - s)),
+        "cy": jnp.pad(sph[:, 1], (0, sp - s)),
+        "cz": jnp.pad(sph[:, 2], (0, sp - s)),
+        "r": jnp.pad(sph[:, 3], (0, sp - s)),  # padded radius 0 => never hits
+    }
+    return out, sp
+
+
+def _intersect_sph_block(o, d, tmax, blk):
+    """Ray-sphere on (N, B) components -> t (N, B), inf where missed."""
+    ocx = o[:, 0:1] - blk["cx"][None]
+    ocy = o[:, 1:2] - blk["cy"][None]
+    ocz = o[:, 2:3] - blk["cz"][None]
+    b = ocx * d[:, 0:1] + ocy * d[:, 1:2] + ocz * d[:, 2:3]
+    r = blk["r"][None]
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > 0.0, t0, t1)
+    hit = (disc > 0.0) & (r > 0.0) & (t > 0.0) & (t < tmax[:, None])
+    return jnp.where(hit, t, INF)
+
+
+def _fold_min(best, t_blk, u_blk, v_blk, block_base):
+    """Fold a block's per-ray minima into the running (t, idx, u, v)."""
+    arg = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
+    n = jnp.arange(t_blk.shape[0])
+    t_new = t_blk[n, arg]
+    better = t_new < best[0]
+    return (
+        jnp.where(better, t_new, best[0]),
+        jnp.where(better, block_base + arg, best[1]),
+        jnp.where(better, u_blk[n, arg], best[2]),
+        jnp.where(better, v_blk[n, arg], best[3]),
+    )
+
+
+def _scan_tri_blocks(soa, tp, o, d, tmax, fold, init):
+    """Apply fold(carry, blk, base) over lane-aligned triangle blocks."""
+    if tp <= _TRI_BLOCK:
+        return fold(init, soa, jnp.int32(0))
+    n_blocks = (tp + _TRI_BLOCK - 1) // _TRI_BLOCK
+    tpad = n_blocks * _TRI_BLOCK
+    blocked = {
+        k: jnp.pad(a, (0, tpad - tp)).reshape(n_blocks, _TRI_BLOCK)
+        for k, a in soa.items()
+    }
+    bases = jnp.arange(n_blocks, dtype=jnp.int32) * _TRI_BLOCK
+
+    def body(carry, xs):
+        blk, base = xs
+        return fold(carry, blk, base), None
+
+    out, _ = jax.lax.scan(body, init, (blocked, bases))
+    return out
+
+
+def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
+    """Closest-hit query for a batch of rays.
+
+    o, d: (N, 3); tmax: (N,) or None. Returns an Interaction with geometric
+    outward normals (winding / outward-facing for spheres); callers
+    face-forward as needed.
+    """
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), INF, o.dtype)
+
+    best = (
+        jnp.full((n_rays,), INF, o.dtype),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays,), o.dtype),
+        jnp.zeros((n_rays,), o.dtype),
+    )
+
+    n_tri = geom.num_triangles
+    if n_tri > 0:
+        soa, tp = _tri_soa(geom.tri_verts)
+
+        def fold(carry, blk, base):
+            t, u, v = _intersect_tri_block(o, d, tmax, blk)
+            return _fold_min(carry, t, u, v, base)
+
+        best = _scan_tri_blocks(soa, tp, o, d, tmax, fold, best)
+
+    n_sph = geom.num_spheres
+    if n_sph > 0:
+        sblk, _ = _sph_soa(geom.sph)
+        t_s = _intersect_sph_block(o, d, tmax, sblk)
+        zeros = jnp.zeros_like(t_s)
+        best = _fold_min(
+            (best[0], best[1], best[2], best[3]),
+            jnp.where(
+                jnp.arange(t_s.shape[1])[None, :] < n_sph, t_s, INF
+            ),
+            zeros,
+            zeros,
+            jnp.int32(n_tri),
+        )
+
+    t, idx, u, v = best
+    valid = idx >= 0
+    idx_safe = jnp.maximum(idx, 0)
+    p = o + t[:, None] * d
+    p = jnp.where(valid[:, None], p, 0.0)
+
+    is_tri = valid & (idx < n_tri)
+    if n_tri > 0:
+        tri_idx = jnp.clip(idx_safe, 0, n_tri - 1)
+        tv = geom.tri_verts[tri_idx]
+        n_tri_geo = normalize(cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]))
+        mat_tri = geom.tri_mat[tri_idx]
+        light_tri = geom.tri_light[tri_idx]
+    else:
+        n_tri_geo = jnp.zeros_like(o)
+        mat_tri = jnp.zeros((n_rays,), jnp.int32)
+        light_tri = jnp.full((n_rays,), -1, jnp.int32)
+
+    if n_sph > 0:
+        sph_idx = jnp.clip(idx_safe - n_tri, 0, n_sph - 1)
+        sc = geom.sph[sph_idx]
+        n_sph_geo = normalize(p - sc[:, :3])
+        mat_sph = geom.sph_mat[sph_idx]
+        light_sph = geom.sph_light[sph_idx]
+    else:
+        n_sph_geo = jnp.zeros_like(o)
+        mat_sph = jnp.zeros((n_rays,), jnp.int32)
+        light_sph = jnp.full((n_rays,), -1, jnp.int32)
+
+    ng = jnp.where(is_tri[:, None], n_tri_geo, n_sph_geo)
+    mat = jnp.where(is_tri, mat_tri, mat_sph)
+    light = jnp.where(is_tri, light_tri, light_sph)
+
+    return Interaction(
+        valid=valid,
+        t=t,
+        p=p,
+        n=ng,
+        uv=jnp.stack([u, v], axis=-1),
+        wo=-d,
+        mat=jnp.where(valid, mat, 0),
+        light=jnp.where(valid, light, -1),
+        prim=idx,
+    )
+
+
+def intersect_any(geom: GeometryBuffers, o, d, tmax) -> jnp.ndarray:
+    """Occlusion (shadow-ray) query: True where any hit with t < tmax.
+
+    Reference analogue: IntersectP / the wavefront shadow pipeline
+    (src/pbrt/wavefront/integrator.cpp TraceShadowRays).
+    """
+    n_rays = o.shape[0]
+    occluded = jnp.zeros((n_rays,), bool)
+
+    if geom.num_triangles > 0:
+        soa, tp = _tri_soa(geom.tri_verts)
+
+        def fold(carry, blk, base):
+            t, _, _ = _intersect_tri_block(o, d, tmax, blk)
+            return carry | jnp.any(jnp.isfinite(t), axis=1)
+
+        occluded = _scan_tri_blocks(soa, tp, o, d, tmax, fold, occluded)
+
+    if geom.num_spheres > 0:
+        sblk, _ = _sph_soa(geom.sph)
+        t_s = _intersect_sph_block(o, d, tmax, sblk)
+        occluded = occluded | jnp.any(jnp.isfinite(t_s), axis=1)
+
+    return occluded
+
+
+def offset_ray_origin(p, n, d):
+    """Spawn-ray origin offset to avoid self-intersection.
+
+    The reference computes exact FP error bounds (interaction.h SpawnRay /
+    OffsetRayOrigin); we use a scale-aware epsilon along the geometric normal,
+    signed toward the outgoing direction.
+    """
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(p), axis=-1, keepdims=True))
+    eps = 1e-4 * scale
+    sign = jnp.where(dot(n, d, keepdims=True) >= 0.0, 1.0, -1.0)
+    return p + sign * eps * n

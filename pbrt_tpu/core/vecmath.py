@@ -1,0 +1,225 @@
+"""Vector geometry on batched (..., 3) arrays.
+
+TPU-native counterpart of /root/reference/src/pbrt/util/vecmath.h (Point3f /
+Vector3f / Normal3f / Frame / OctahedralVector). There are no vector *types*:
+a point is any float array whose trailing axis has extent 3, and every routine
+is batched over leading axes so it vectorizes on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# A conservative machine epsilon helper mirroring pbrt's gamma(n) FP error
+# bound (reference: src/pbrt/util/float.h:576 `gamma`).
+MACHINE_EPS = float(jnp.finfo(jnp.float32).eps) * 0.5
+
+
+def gamma(n: int) -> float:
+    return (n * MACHINE_EPS) / (1 - n * MACHINE_EPS)
+
+
+def dot(a, b, keepdims: bool = False):
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def absdot(a, b, keepdims: bool = False):
+    return jnp.abs(dot(a, b, keepdims=keepdims))
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def length_squared(v, keepdims: bool = False):
+    return jnp.sum(v * v, axis=-1, keepdims=keepdims)
+
+
+def length(v, keepdims: bool = False):
+    return jnp.sqrt(length_squared(v, keepdims=keepdims))
+
+
+def normalize(v, eps: float = 1e-20):
+    return v * jax_rsqrt(jnp.maximum(length_squared(v, keepdims=True), eps))
+
+
+def jax_rsqrt(x):
+    import jax.lax
+
+    return jax.lax.rsqrt(x)
+
+
+def distance(a, b):
+    return length(a - b)
+
+
+def lerp(t, a, b):
+    return (1.0 - t) * a + t * b
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def face_forward(n, v):
+    """Flip n so it lies in the same hemisphere as v."""
+    s = jnp.sign(dot(n, v, keepdims=True))
+    return n * jnp.where(s == 0, 1.0, s)
+
+
+def coordinate_system(v):
+    """Branchless orthonormal basis from a unit vector (Duff et al. 2017).
+
+    Reference analogue: Frame::FromZ / CoordinateSystem
+    (src/pbrt/util/vecmath.h:1855). Returns (t1, t2) with (t1, t2, v) an
+    orthonormal right-handed frame.
+    """
+    z = v[..., 2]
+    sign = jnp.where(z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + z)
+    b = v[..., 0] * v[..., 1] * a
+    t1 = jnp.stack(
+        [1.0 + sign * v[..., 0] * v[..., 0] * a, sign * b, -sign * v[..., 0]],
+        axis=-1,
+    )
+    t2 = jnp.stack([b, sign + v[..., 1] * v[..., 1] * a, -v[..., 1]], axis=-1)
+    return t1, t2
+
+
+def to_local(v, t1, t2, n):
+    """World -> shading-local (z = n) coordinates."""
+    return jnp.stack([dot(v, t1), dot(v, t2), dot(v, n)], axis=-1)
+
+
+def from_local(v, t1, t2, n):
+    """Shading-local -> world coordinates."""
+    return (
+        v[..., 0:1] * t1 + v[..., 1:2] * t2 + v[..., 2:3] * n
+    )
+
+
+def spherical_direction(sin_theta, cos_theta, phi):
+    return jnp.stack(
+        [
+            jnp.clip(sin_theta, -1.0, 1.0) * jnp.cos(phi),
+            jnp.clip(sin_theta, -1.0, 1.0) * jnp.sin(phi),
+            jnp.clip(cos_theta, -1.0, 1.0),
+        ],
+        axis=-1,
+    )
+
+
+def spherical_theta(v):
+    return safe_acos(v[..., 2])
+
+
+def spherical_phi(v):
+    p = jnp.arctan2(v[..., 1], v[..., 0])
+    return jnp.where(p < 0.0, p + 2.0 * jnp.pi, p)
+
+
+def reflect(wo, n):
+    """Mirror reflection of wo about n (both pointing away from surface)."""
+    return -wo + 2.0 * dot(wo, n, keepdims=True) * n
+
+
+def refract(wi, n, eta):
+    """Refract wi through the interface with normal n.
+
+    Convention of pbrt's Refract (src/pbrt/util/scattering.h:37): eta is the
+    relative IOR of the medium on the non-normal side over the normal side;
+    if wi arrives from below n, both n and eta are flipped. `eta` must be
+    broadcastable to wi[..., 0] (one relative IOR per ray).
+
+    Returns (valid, wt, eta_eff): valid=False marks total internal reflection;
+    eta_eff is the possibly-inverted relative IOR actually used.
+    """
+    cos_theta_i = dot(wi, n)
+    flip = cos_theta_i < 0.0
+    eta = jnp.where(flip, 1.0 / eta, eta)
+    cos_theta_i = jnp.abs(cos_theta_i)
+    n = jnp.where(flip[..., None], -n, n)
+    sin2_theta_i = jnp.maximum(0.0, 1.0 - cos_theta_i * cos_theta_i)
+    sin2_theta_t = sin2_theta_i / (eta * eta)
+    valid = sin2_theta_t < 1.0  # total internal reflection otherwise
+    cos_theta_t = safe_sqrt(1.0 - sin2_theta_t)
+    wt = (
+        -wi / eta[..., None]
+        + (cos_theta_i / eta - cos_theta_t)[..., None] * n
+    )
+    return valid, wt, eta
+
+
+def octahedral_encode(v):
+    """Unit vector -> 2D octahedral coordinates in [-1, 1]^2.
+
+    Reference analogue: OctahedralVector (src/pbrt/util/vecmath.h:1735); we
+    keep float32 coordinates rather than 16-bit quantization (VPU-friendly).
+    """
+    d = jnp.sum(jnp.abs(v), axis=-1, keepdims=True)
+    p = v[..., :2] / d
+    x, y = p[..., 0], p[..., 1]
+    neg = v[..., 2] < 0.0
+    xo = jnp.where(neg, (1.0 - jnp.abs(y)) * jnp.where(x >= 0, 1.0, -1.0), x)
+    yo = jnp.where(neg, (1.0 - jnp.abs(x)) * jnp.where(y >= 0, 1.0, -1.0), y)
+    return jnp.stack([xo, yo], axis=-1)
+
+
+def octahedral_decode(e):
+    """Inverse of octahedral_encode."""
+    x, y = e[..., 0], e[..., 1]
+    z = 1.0 - jnp.abs(x) - jnp.abs(y)
+    neg = z < 0.0
+    xd = jnp.where(neg, (1.0 - jnp.abs(y)) * jnp.where(x >= 0, 1.0, -1.0), x)
+    yd = jnp.where(neg, (1.0 - jnp.abs(x)) * jnp.where(y >= 0, 1.0, -1.0), y)
+    return normalize(jnp.stack([xd, yd, z], axis=-1))
+
+
+def equal_area_square_to_sphere(p):
+    """Low-distortion [0,1]^2 -> unit sphere mapping (Clarberg 2008).
+
+    Reference analogue: EqualAreaSquareToSphere (src/pbrt/util/vecmath.h),
+    used for octahedral environment maps.
+    """
+    u = 2.0 * p[..., 0] - 1.0
+    v = 2.0 * p[..., 1] - 1.0
+    up = jnp.abs(u)
+    vp = jnp.abs(v)
+    sd = 1.0 - (up + vp)
+    d = jnp.abs(sd)
+    r = 1.0 - d
+    phi = jnp.where(r == 0.0, 1.0, (vp - up) / jnp.where(r == 0.0, 1.0, r) + 1.0) * (
+        jnp.pi / 4.0
+    )
+    z = jnp.sign(sd) * (1.0 - r * r)
+    cos_phi = jnp.sign(u) * jnp.cos(phi)
+    sin_phi = jnp.sign(v) * jnp.sin(phi)
+    s = r * safe_sqrt(2.0 - r * r)
+    return jnp.stack([cos_phi * s, sin_phi * s, z], axis=-1)
+
+
+def equal_area_sphere_to_square(d):
+    """Inverse of equal_area_square_to_sphere."""
+    x = jnp.abs(d[..., 0])
+    y = jnp.abs(d[..., 1])
+    z = jnp.abs(d[..., 2])
+    r = safe_sqrt(1.0 - z)
+    a = jnp.maximum(x, y)
+    b = jnp.minimum(x, y)
+    b = jnp.where(a == 0.0, 0.0, b / jnp.where(a == 0.0, 1.0, a))
+    # atan(b) on [0,1] scaled to [0, pi/4]
+    phi = jnp.arctan(b) * (2.0 / jnp.pi)
+    phi = jnp.where(x < y, 1.0 - phi, phi)
+    v_ = phi * r
+    u_ = r - v_
+    # southern hemisphere: fold
+    south = d[..., 2] < 0.0
+    u2 = jnp.where(south, 1.0 - v_, u_)
+    v2 = jnp.where(south, 1.0 - u_, v_)
+    u2 = jnp.sign(d[..., 0]) * u2
+    v2 = jnp.sign(d[..., 1]) * v2
+    return jnp.stack([0.5 * (u2 + 1.0), 0.5 * (v2 + 1.0)], axis=-1)

@@ -1,0 +1,280 @@
+"""Image file I/O: OpenEXR (float scanline), PFM, PNG.
+
+Reference analogue: /root/reference/src/pbrt/util/image.cpp (EXR via the
+vendored OpenEXR library; PFM and PNG writers). Implemented from the public
+file-format specifications in pure Python + numpy + zlib.
+
+EXR support targets the subset pbrt emits/consumes for films: single-part
+scanline images, float or half channels, NONE or ZIP compression.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --- PFM --------------------------------------------------------------------
+
+
+def write_pfm(path: str, img: np.ndarray) -> None:
+    """img: (h, w, 3) or (h, w) float32. PFM stores bottom-to-top."""
+    img = np.asarray(img, np.float32)
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")  # little-endian
+        f.write(np.flipud(img).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        color = header == b"PF"
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(
+            f.read(), "<f4" if scale < 0 else ">f4"
+        )
+    img = data.reshape(h, w, 3) if color else data.reshape(h, w)
+    return np.flipud(img).copy()
+
+
+# --- PNG --------------------------------------------------------------------
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (h, w, 3) uint8 or float in [0,1] (converted with sRGB encode
+    responsibility on the caller — this writes raw 8-bit values)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        c = tag + payload
+        return (
+            struct.pack(">I", len(payload))
+            + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + img[y].tobytes() for y in range(h)
+    )  # filter 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+# --- OpenEXR (scanline, float/half, NONE/ZIP) -------------------------------
+
+_EXR_MAGIC = 20000630
+_PIXELTYPE_HALF = 1
+_PIXELTYPE_FLOAT = 2
+_COMP_NONE = 0
+_COMP_ZIP = 3
+
+
+def _attr(name: bytes, type_: bytes, value: bytes) -> bytes:
+    return name + b"\x00" + type_ + b"\x00" + struct.pack("<I", len(value)) + value
+
+
+def write_exr(
+    path: str,
+    img: np.ndarray,
+    channel_names=("R", "G", "B"),
+    compression: str = "zip",
+    half: bool = False,
+    metadata: dict | None = None,
+) -> None:
+    """Write a single-part scanline EXR.
+
+    img: (h, w, C) float; channel_names length must equal C. `metadata` maps
+    string keys to string values (written as EXR string attributes — the
+    provenance channel pbrt uses for spp/render-time, film.cpp WriteImage).
+    """
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    assert len(channel_names) == c
+    comp = _COMP_ZIP if compression == "zip" else _COMP_NONE
+    ptype = _PIXELTYPE_HALF if half else _PIXELTYPE_FLOAT
+
+    # Channel list sorted alphabetically as EXR requires.
+    order = sorted(range(c), key=lambda i: channel_names[i])
+    chans = b""
+    for i in order:
+        chans += channel_names[i].encode() + b"\x00"
+        chans += struct.pack("<iiii", ptype, 0, 1, 1)
+    chans += b"\x00"
+
+    header = b""
+    header += _attr(b"channels", b"chlist", chans)
+    header += _attr(b"compression", b"compression", struct.pack("<B", comp))
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += _attr(b"dataWindow", b"box2i", box)
+    header += _attr(b"displayWindow", b"box2i", box)
+    header += _attr(b"lineOrder", b"lineOrder", struct.pack("<B", 0))
+    header += _attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += _attr(
+        b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0)
+    )
+    header += _attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    for k, v in (metadata or {}).items():
+        header += _attr(k.encode(), b"string", str(v).encode())
+    header += b"\x00"
+
+    lines_per_block = 16 if comp == _COMP_ZIP else 1
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+
+    dtype = np.dtype("<f2") if half else np.dtype("<f4")
+    blocks = []
+    for b in range(n_blocks):
+        y0 = b * lines_per_block
+        y1 = min(y0 + lines_per_block, h)
+        # Per scanline: all pixels of each channel, channels in sorted order.
+        rows = []
+        for y in range(y0, y1):
+            for i in order:
+                rows.append(np.ascontiguousarray(img[y, :, i]).astype(dtype).tobytes())
+        data = b"".join(rows)
+        if comp == _COMP_ZIP:
+            packed = _exr_zip_compress(data)
+            if len(packed) >= len(data):
+                packed = data
+        else:
+            packed = data
+        blocks.append(struct.pack("<i", y0) + struct.pack("<i", len(packed)) + packed)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", _EXR_MAGIC))
+        f.write(struct.pack("<I", 2))  # version 2, no flags
+        f.write(header)
+        offset_table_pos = f.tell()
+        offset0 = offset_table_pos + 8 * n_blocks
+        offsets = []
+        pos = offset0
+        for blk in blocks:
+            offsets.append(pos)
+            pos += len(blk)
+        f.write(struct.pack(f"<{n_blocks}Q", *offsets))
+        for blk in blocks:
+            f.write(blk)
+
+
+def _exr_zip_compress(data: bytes) -> bytes:
+    """OpenEXR ZIP pre-filter: interleave split, then delta, then deflate
+    (matches ImfZip.cpp so standard readers can open our files)."""
+    raw = np.frombuffer(data, np.uint8)
+    n = len(raw)
+    half = (n + 1) // 2
+    tmp = np.empty(n, np.uint8)
+    tmp[:half] = raw[0::2]
+    tmp[half:] = raw[1::2]
+    d = tmp.astype(np.int16)
+    d[1:] = d[1:] - tmp[:-1].astype(np.int16) + (128 + 256)
+    out = (d & 0xFF).astype(np.uint8)
+    out[0] = tmp[0]
+    return zlib.compress(out.tobytes(), 6)
+
+
+def _exr_zip_decompress(data: bytes, expected: int) -> bytes:
+    d = np.frombuffer(zlib.decompress(data), np.uint8).astype(np.int64)
+    # Invert delta: orig[i] = (orig[i-1] + d[i] - 384) mod 256.
+    vals = d.copy()
+    vals[1:] -= 384
+    tmp = (np.cumsum(vals) & 0xFF).astype(np.uint8)
+    # Invert interleave split.
+    n = len(tmp)
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = tmp[:half]
+    out[1::2] = tmp[half:]
+    return out.tobytes()
+
+
+def read_exr(path: str):
+    """Read a single-part scanline EXR written by this module (and the common
+    subset of pbrt outputs: float/half, NONE/ZIP/ZIPS compression).
+
+    Returns (img (h, w, C) float32, channel_names sorted, metadata dict).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = struct.unpack_from("<II", buf, 0)
+    assert magic == _EXR_MAGIC, "not an EXR file"
+    assert version & 0xFF == 2
+    assert not (version & 0x200), "multi-part EXR unsupported"
+    pos = 8
+
+    attrs = {}
+    while buf[pos] != 0:
+        e = buf.index(b"\x00", pos)
+        name = buf[pos:e].decode()
+        pos = e + 1
+        e = buf.index(b"\x00", pos)
+        type_ = buf[pos:e].decode()
+        pos = e + 1
+        (size,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        attrs[name] = (type_, buf[pos : pos + size])
+        pos += size
+    pos += 1
+
+    # Channels.
+    chdata = attrs["channels"][1]
+    chans = []
+    cp = 0
+    while chdata[cp] != 0:
+        e = chdata.index(b"\x00", cp)
+        cname = chdata[cp:e].decode()
+        cp = e + 1
+        ptype, _, sx, sy = struct.unpack_from("<iiii", chdata, cp)
+        cp += 16
+        chans.append((cname, ptype))
+    comp = attrs["compression"][1][0]
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+
+    metadata = {
+        k: v[1].decode(errors="replace")
+        for k, (t, v_) in ((k, attrs[k]) for k in attrs)
+        if (v := attrs[k])[0] == "string"
+    }
+
+    lines_per_block = {0: 1, 2: 1, 3: 16, 4: 32}.get(comp)
+    assert lines_per_block is not None, f"unsupported compression {comp}"
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = struct.unpack_from(f"<{n_blocks}Q", buf, pos)
+
+    img = np.zeros((h, w, len(chans)), np.float32)
+    bytes_per = {1: 2, 2: 4}
+    for off in offsets:
+        (y,) = struct.unpack_from("<i", buf, off)
+        (size,) = struct.unpack_from("<i", buf, off + 4)
+        data = buf[off + 8 : off + 8 + size]
+        ny = min(lines_per_block, y1 - y + 1)
+        row_bytes = sum(w * bytes_per[pt] for _, pt in chans)
+        expected = row_bytes * ny
+        if comp in (3, 4) and size != expected:
+            data = _exr_zip_decompress(data, expected)
+        dp = 0
+        for yy in range(y, y + ny):
+            for ci, (cname, ptype) in enumerate(chans):
+                nb = w * bytes_per[ptype]
+                row = np.frombuffer(
+                    data[dp : dp + nb], "<f2" if ptype == 1 else "<f4"
+                )
+                img[yy - y0, :, ci] = row.astype(np.float32)
+                dp += nb
+    return img, [c for c, _ in chans], metadata

@@ -1,0 +1,317 @@
+"""Flat light arrays + NEE sampling.
+
+Light list layout: [area lights (one per emissive triangle)] ++ [point] ++
+[distant]. An optional uniform infinite light handles escaped rays.
+
+Emission RGBs are stored as sigmoid-polynomial coefficients + scale; each
+light flags whether its spectrum is D65-illuminant-shaped (pbrt's
+RGBIlluminantSpectrum, lights.cpp DiffuseAreaLight) or flat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import cie, rgb2spec
+from ..core.pytree import pytree, static_field
+from ..core.sampling import sample_uniform_triangle
+from ..core.vecmath import dot, normalize
+
+_EPS = 1e-9
+
+
+@pytree
+class LightLiSample:
+    """Result of SampleLi for a batch of reference points.
+
+    Reference analogue: LightLiSample (base/light.h:62).
+    """
+
+    L: jnp.ndarray  # (N, S) incident radiance (1/d^2 folded in for delta lights)
+    wi: jnp.ndarray  # (N, 3)
+    pdf: jnp.ndarray  # (N,) solid-angle pdf incl. selection pmf (delta: pmf only)
+    dist: jnp.ndarray  # (N,) distance to the light point (inf for distant)
+    is_delta: jnp.ndarray  # (N,) bool
+
+
+def eval_emission(coeffs, scale, illum, lam):
+    """Emission spectrum: sigmoid poly x scale, optionally D65-shaped.
+
+    illum: broadcastable bool — True follows pbrt's RGBIlluminantSpectrum
+    (D65-modulated, spectrum.h:595); False is a flat-spectrum emitter (exact
+    for analytic tests and constant-radiance sources).
+    """
+    base = rgb2spec.eval_unbounded(coeffs, scale, lam)
+    d65 = cie.illuminant_d65(lam) * (1.0 / 100.0)
+    return jnp.where(jnp.asarray(illum)[..., None], base * d65, base)
+
+
+@pytree
+class LightBuffers:
+    # Area lights: one emissive triangle each.
+    area_verts: jnp.ndarray  # (La, 3, 3)
+    area_coeffs: jnp.ndarray  # (La, 3)
+    area_scale: jnp.ndarray  # (La,)
+    area_illum: jnp.ndarray  # (La,) bool: D65-shaped vs flat spectrum
+    area_two_sided: jnp.ndarray  # (La,) bool
+    area_area: jnp.ndarray  # (La,) triangle area
+    # Point lights.
+    point_p: jnp.ndarray  # (Lp, 3)
+    point_coeffs: jnp.ndarray  # (Lp, 3)
+    point_scale: jnp.ndarray  # (Lp,)
+    point_illum: jnp.ndarray  # (Lp,) bool
+    # Distant lights.
+    distant_dir: jnp.ndarray  # (Ld, 3) direction the light travels (w_light)
+    distant_coeffs: jnp.ndarray  # (Ld, 3)
+    distant_scale: jnp.ndarray  # (Ld,)
+    distant_illum: jnp.ndarray  # (Ld,) bool
+    # Uniform infinite light (0 or 1).
+    infinite_coeffs: jnp.ndarray  # (3,)
+    infinite_scale: jnp.ndarray  # ()
+    infinite_illum: jnp.ndarray  # () bool
+    has_infinite: bool = static_field(default=False)
+
+    @property
+    def n_area(self) -> int:
+        return self.area_verts.shape[0]
+
+    @property
+    def n_point(self) -> int:
+        return self.point_p.shape[0]
+
+    @property
+    def n_distant(self) -> int:
+        return self.distant_dir.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.n_area + self.n_point + self.n_distant + (
+            1 if self.has_infinite else 0
+        )
+
+    @staticmethod
+    def build(
+        area_tris=None,  # dicts: verts (3,3), rgb, scale, two_sided, illuminant
+        points=None,  # dicts: p, rgb, scale, illuminant
+        distants=None,  # dicts: dir (travel direction), rgb, scale, illuminant
+        infinite=None,  # dict: rgb, scale, illuminant — or None
+    ) -> "LightBuffers":
+        def _fit(rgbs):
+            if not len(rgbs):
+                return jnp.zeros((0, 3), jnp.float32), jnp.zeros((0,), jnp.float32)
+            return rgb2spec.fit_unbounded(jnp.asarray(rgbs, jnp.float32))
+
+        def _flags(specs, key, default):
+            if not specs:
+                return jnp.zeros((0,), bool)
+            return jnp.asarray([bool(s.get(key, default)) for s in specs], bool)
+
+        area_tris = area_tris or []
+        points = points or []
+        distants = distants or []
+
+        av = np.asarray([a["verts"] for a in area_tris], np.float32).reshape(
+            -1, 3, 3
+        )
+        ac, asc = _fit(
+            [np.asarray(a["rgb"]) * a.get("scale", 1.0) for a in area_tris]
+        )
+        if len(av):
+            e1 = av[:, 1] - av[:, 0]
+            e2 = av[:, 2] - av[:, 0]
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        else:
+            areas = np.zeros((0,), np.float32)
+
+        pp = np.asarray([p["p"] for p in points], np.float32).reshape(-1, 3)
+        pc, psc = _fit(
+            [np.asarray(p["rgb"]) * p.get("scale", 1.0) for p in points]
+        )
+
+        dd = np.asarray([d["dir"] for d in distants], np.float32).reshape(-1, 3)
+        if len(dd):
+            dd = dd / np.linalg.norm(dd, axis=-1, keepdims=True)
+        dc, dsc = _fit(
+            [np.asarray(d["rgb"]) * d.get("scale", 1.0) for d in distants]
+        )
+
+        if infinite is not None:
+            ic, isc = rgb2spec.fit_unbounded(
+                jnp.asarray(infinite["rgb"], jnp.float32)
+                * infinite.get("scale", 1.0)
+            )
+            iil = jnp.asarray(bool(infinite.get("illuminant", True)))
+        else:
+            ic = jnp.zeros((3,), jnp.float32)
+            isc = jnp.zeros((), jnp.float32)
+            iil = jnp.asarray(False)
+
+        return LightBuffers(
+            area_verts=jnp.asarray(av),
+            area_coeffs=ac,
+            area_scale=asc,
+            area_illum=_flags(area_tris, "illuminant", True),
+            area_two_sided=_flags(area_tris, "two_sided", False),
+            area_area=jnp.asarray(areas, jnp.float32),
+            point_p=jnp.asarray(pp),
+            point_coeffs=pc,
+            point_scale=psc,
+            point_illum=_flags(points, "illuminant", True),
+            distant_dir=jnp.asarray(dd, jnp.float32),
+            distant_coeffs=dc,
+            distant_scale=dsc,
+            distant_illum=_flags(distants, "illuminant", True),
+            infinite_coeffs=ic,
+            infinite_scale=isc,
+            infinite_illum=iil,
+            has_infinite=infinite is not None,
+        )
+
+    # -- emission queries ---------------------------------------------------
+
+    def area_radiance(self, light_idx, lam):
+        """Emitted radiance of area light `light_idx` at wavelengths lam."""
+        if self.n_area == 0:
+            return jnp.zeros_like(lam)
+        i = jnp.clip(light_idx, 0, self.n_area - 1)
+        return eval_emission(
+            self.area_coeffs[i], self.area_scale[i], self.area_illum[i], lam
+        )
+
+    def emitted(self, light_idx, n_geo, wo, lam):
+        """L_e toward wo for rays that hit area light light_idx (>=0).
+
+        Reference: DiffuseAreaLight::L (lights.h).
+        """
+        if self.n_area == 0:
+            return jnp.zeros_like(lam)
+        front = dot(n_geo, wo) > 0.0
+        two = self.area_two_sided[jnp.clip(light_idx, 0, self.n_area - 1)]
+        vis = front | two
+        L = self.area_radiance(light_idx, lam)
+        return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
+
+    def escaped_radiance(self, lam):
+        """Radiance for rays that leave the scene (uniform infinite light)."""
+        if not self.has_infinite:
+            return jnp.zeros_like(lam)
+        return eval_emission(
+            self.infinite_coeffs[None, :],
+            self.infinite_scale[None],
+            self.infinite_illum[None],
+            lam,
+        )
+
+    # -- NEE sampling -------------------------------------------------------
+
+    def sample_li(self, p_ref, lam, u_select, u_pos) -> LightLiSample:
+        """Uniformly select a light, sample a point/direction on it.
+
+        p_ref: (N, 3) shading points; u_select: (N,); u_pos: (N, 2).
+        pdf is with respect to solid angle at p_ref and INCLUDES the 1/n_lights
+        selection pmf (UniformLightSampler semantics, lightsamplers.h:29).
+        """
+        n = self.n_lights
+        assert n > 0, "sample_li with no lights"
+        N = p_ref.shape[0]
+        S = lam.shape[-1]
+        idx = jnp.minimum((u_select * n).astype(jnp.int32), n - 1)
+        sel_pmf = 1.0 / n
+
+        L = jnp.zeros((N, S), p_ref.dtype)
+        wi = jnp.zeros((N, 3), p_ref.dtype)
+        pdf = jnp.zeros((N,), p_ref.dtype)
+        dist = jnp.full((N,), jnp.inf, p_ref.dtype)
+        is_delta = jnp.zeros((N,), bool)
+
+        na, npt, nd = self.n_area, self.n_point, self.n_distant
+
+        if na > 0:
+            ai = jnp.clip(idx, 0, na - 1)
+            verts = self.area_verts[ai]  # (N,3,3)
+            b = sample_uniform_triangle(u_pos)  # (N,3)
+            p_l = jnp.einsum("nk,nkj->nj", b, verts)
+            e1 = verts[:, 1] - verts[:, 0]
+            e2 = verts[:, 2] - verts[:, 0]
+            n_l = normalize(jnp.cross(e1, e2))
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            d = jnp.sqrt(d2)
+            wi_a = to_l / d[..., None]
+            cos_l = dot(n_l, -wi_a)
+            two = self.area_two_sided[ai]
+            emit_ok = (cos_l > _EPS) | (two & (jnp.abs(cos_l) > _EPS))
+            area = jnp.maximum(self.area_area[ai], _EPS)
+            pdf_a = d2 / (jnp.abs(cos_l) * area + _EPS)
+            L_a = eval_emission(
+                self.area_coeffs[ai],
+                self.area_scale[ai],
+                self.area_illum[ai],
+                lam,
+            )
+            L_a = jnp.where(emit_ok[..., None], L_a, 0.0)
+            use = idx < na
+            L = jnp.where(use[..., None], L_a, L)
+            wi = jnp.where(use[..., None], wi_a, wi)
+            pdf = jnp.where(use, pdf_a, pdf)
+            dist = jnp.where(use, d, dist)
+
+        if npt > 0:
+            pi = jnp.clip(idx - na, 0, npt - 1)
+            p_l = self.point_p[pi]
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            d = jnp.sqrt(d2)
+            wi_p = to_l / d[..., None]
+            # I / d^2 folded into L; pdf = 1 (delta light).
+            I = eval_emission(
+                self.point_coeffs[pi],
+                self.point_scale[pi],
+                self.point_illum[pi],
+                lam,
+            )
+            L_p = I / d2[..., None]
+            use = (idx >= na) & (idx < na + npt)
+            L = jnp.where(use[..., None], L_p, L)
+            wi = jnp.where(use[..., None], wi_p, wi)
+            pdf = jnp.where(use, 1.0, pdf)
+            dist = jnp.where(use, d, dist)
+            is_delta = is_delta | use
+
+        if nd > 0:
+            di = jnp.clip(idx - na - npt, 0, nd - 1)
+            wi_d = -self.distant_dir[di]
+            L_d = eval_emission(
+                self.distant_coeffs[di],
+                self.distant_scale[di],
+                self.distant_illum[di],
+                lam,
+            )
+            use = (idx >= na + npt) & (idx < na + npt + nd)
+            L = jnp.where(use[..., None], L_d, L)
+            wi = jnp.where(use[..., None], wi_d, wi)
+            pdf = jnp.where(use, 1.0, pdf)
+            dist = jnp.where(use, jnp.inf, dist)
+            is_delta = is_delta | use
+
+        # (A selected uniform infinite light keeps pdf 0: a constant-radiance
+        # environment is covered by BSDF sampling + escaped-ray accumulation.)
+        return LightLiSample(
+            L=L, wi=wi, pdf=pdf * sel_pmf, dist=dist, is_delta=is_delta
+        )
+
+    def pdf_li_area(self, light_idx, dist, cos_l):
+        """Solid-angle pdf that NEE would have produced the direction that hit
+        area light `light_idx` (for MIS on BSDF-sampled rays).
+
+        Includes the uniform selection pmf. Reference: DiffuseAreaLight::PDF_Li
+        + UniformLightSampler::PMF.
+        """
+        if self.n_area == 0:
+            return jnp.zeros_like(dist)
+        area = jnp.maximum(
+            self.area_area[jnp.clip(light_idx, 0, self.n_area - 1)], _EPS
+        )
+        pdf = dist * dist / (jnp.abs(cos_l) * area + _EPS)
+        return jnp.where(light_idx >= 0, pdf / self.n_lights, 0.0)

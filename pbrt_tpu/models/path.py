@@ -1,0 +1,213 @@
+"""Path integrator: NEE + MIS + Russian roulette as a scan over bounces.
+
+Reference analogue: PathIntegrator::Li
+(/root/reference/src/pbrt/cpu/integrators.cpp:629-805). The recursive C++
+bounce loop becomes a lax.scan whose carry is the wavefront RayWorkItem state
+(workitems.soa:40-50): origin, direction, throughput beta, accumulated L,
+previous-BSDF pdf for MIS, and liveness masks. All rays advance in lockstep;
+terminated rays are masked, not compacted (sorted wavefront compaction is the
+planned optimization for divergence-heavy scenes).
+
+RNG dimension layout (per ray; stateless pcg4d streams, core.rng):
+  dims 0-7            camera: pixel jitter (0,1), lens (2,3), wavelength (4)
+  dims 8 + 8*depth +  0      light selection
+                      1      light point (2D consumes one dim pair slot)
+                      2      bsdf lobe selection
+                      3      bsdf direction (2D)
+                      4      russian roulette
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.dense import intersect_any, intersect_closest, offset_ray_origin
+from ..core import rng
+from ..core.pytree import pytree, static_field
+from ..core.sampling import power_heuristic
+from ..core.vecmath import coordinate_system, dot, from_local, to_local
+from ..materials import bxdf
+from ..scene import Scene
+
+_CAM_DIMS = 8
+_BOUNCE_DIMS = 8
+
+
+@pytree
+class PathIntegrator:
+    max_depth: int = static_field(default=5)
+    rr_start_depth: int = static_field(default=2)
+    use_nee: bool = static_field(default=True)
+    use_mis: bool = static_field(default=True)
+
+    def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, seed):
+        """Estimate radiance along N camera rays. Returns (N, S)."""
+        return self.trace_with_stats(
+            scene, o, d, wl, pixel, sample_idx, seed
+        )[0]
+
+    def trace_with_stats(self, scene: Scene, o, d, wl, pixel, sample_idx, seed):
+        """Estimate radiance along N camera rays.
+
+        o, d: (N, 3); wl: SampledWavelengths (N, S); pixel: (N,) int32 ids;
+        sample_idx, seed: scalars. Returns ((N, S) radiance, stats dict with
+        'rays' = number of closest-hit + shadow queries actually alive —
+        the quantity Mrays/s benchmarks count).
+        """
+        n = o.shape[0]
+        s = wl.lam.shape[-1]
+        have_lights = scene.lights.n_lights > 0
+
+        init = {
+            "o": o,
+            "d": d,
+            "L": jnp.zeros((n, s), o.dtype),
+            "beta": jnp.ones((n, s), o.dtype),
+            "active": jnp.ones((n,), bool),
+            "prev_pdf": jnp.ones((n,), o.dtype),
+            "specular": jnp.ones((n,), bool),  # depth-0 emission counts fully
+            "rays": jnp.zeros((), jnp.float32),
+        }
+
+        def bounce(carry, depth):
+            o, d = carry["o"], carry["d"]
+            L, beta = carry["L"], carry["beta"]
+            active = carry["active"]
+            lam = wl.lam
+            n_rays = carry["rays"] + jnp.sum(active.astype(jnp.float32))
+
+            isect = intersect_closest(scene.geom, o, d)
+            hit = active & isect.valid
+
+            # --- Emitted radiance at hits of area lights (with MIS weight
+            # against the NEE strategy; integrators.cpp:664-726).
+            if have_lights:
+                cos_l = dot(isect.n, isect.wo)
+                le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
+                if self.use_mis and self.use_nee:
+                    light_pdf = scene.lights.pdf_li_area(
+                        isect.light, isect.t, cos_l
+                    )
+                    w_l = power_heuristic(1, carry["prev_pdf"], 1, light_pdf)
+                    w_l = jnp.where(carry["specular"], 1.0, w_l)
+                elif self.use_nee:
+                    w_l = jnp.where(carry["specular"], 1.0, 0.0)
+                else:
+                    w_l = jnp.ones_like(isect.t)
+                emit_mask = hit & (isect.light >= 0)
+                L = L + jnp.where(
+                    emit_mask[..., None], beta * w_l[..., None] * le, 0.0
+                )
+
+                # --- Escaped rays: infinite-light radiance.
+                escaped = active & ~isect.valid
+                L = L + jnp.where(
+                    escaped[..., None],
+                    beta * scene.lights.escaped_radiance(lam),
+                    0.0,
+                )
+
+            active = hit
+
+            # --- Shading frame (shading normal == geometric for now).
+            ns = isect.n * jnp.sign(
+                jnp.where(dot(isect.n, isect.wo, keepdims=True) == 0.0, 1.0,
+                          dot(isect.n, isect.wo, keepdims=True))
+            )
+            t1, t2 = coordinate_system(ns)
+            wo_l = to_local(isect.wo, t1, t2, ns)
+            params = scene.materials.gather(isect.mat)
+
+            dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
+
+            # --- Next-event estimation (integrators.cpp SampleLd :727-805).
+            if self.use_nee and have_lights:
+                u_sel = rng.uniform_1d(pixel, sample_idx, dim0 + 0, seed)
+                up0, up1 = rng.uniform_2d(pixel, sample_idx, dim0 + 1, seed)
+                u_pos = jnp.stack([up0, up1], axis=-1)
+                ls = scene.lights.sample_li(isect.p, lam, u_sel, u_pos)
+                wi_l = to_local(ls.wi, t1, t2, ns)
+                f_nee = bxdf.evaluate(params, wo_l, wi_l, lam) * jnp.abs(
+                    wi_l[..., 2:3]
+                )
+                pdf_b = bxdf.pdf(params, wo_l, wi_l)
+                if self.use_mis:
+                    w_nee = jnp.where(
+                        ls.is_delta,
+                        1.0,
+                        power_heuristic(1, ls.pdf, 1, pdf_b),
+                    )
+                else:
+                    w_nee = jnp.ones_like(ls.pdf)
+                contrib = jnp.where(
+                    (ls.pdf > 0.0)[..., None],
+                    beta * f_nee * ls.L * (w_nee / jnp.maximum(ls.pdf, 1e-20))[..., None],
+                    0.0,
+                )
+                need_shadow = active & (ls.pdf > 0.0) & jnp.any(
+                    contrib != 0.0, axis=-1
+                )
+                so = offset_ray_origin(isect.p, isect.n, ls.wi)
+                smax = jnp.where(
+                    jnp.isfinite(ls.dist), ls.dist * (1.0 - 1e-3), 1e30
+                )
+                occluded = intersect_any(
+                    scene.geom,
+                    jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
+                    ls.wi,
+                    jnp.where(need_shadow, smax, 0.0),
+                )
+                L = L + jnp.where(
+                    (need_shadow & ~occluded)[..., None], contrib, 0.0
+                )
+                n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.float32))
+
+            # --- BSDF sampling -> next ray (integrators.cpp:736-758).
+            uc = rng.uniform_1d(pixel, sample_idx, dim0 + 2, seed)
+            ub0, ub1 = rng.uniform_2d(pixel, sample_idx, dim0 + 3, seed)
+            bs = bxdf.sample(
+                params, wo_l, lam, jnp.stack([ub0, ub1], axis=-1), uc
+            )
+            wi_w = from_local(bs["wi"], t1, t2, ns)
+            cos_wi = jnp.abs(bs["wi"][..., 2])
+            ok = active & (bs["pdf"] > 0.0)
+            beta = jnp.where(
+                ok[..., None],
+                beta * bs["f"] * (cos_wi / jnp.maximum(bs["pdf"], 1e-20))[..., None],
+                beta,
+            )
+            o_new = offset_ray_origin(isect.p, isect.n, wi_w)
+            carry_out = {
+                "o": jnp.where(ok[..., None], o_new, o),
+                "d": jnp.where(ok[..., None], wi_w, d),
+                "L": L,
+                "beta": beta,
+                "active": ok,
+                "prev_pdf": jnp.where(ok, bs["pdf"], carry["prev_pdf"]),
+                "specular": jnp.where(ok, bs["specular"], carry["specular"]),
+                "rays": n_rays,
+            }
+
+            # --- Russian roulette on spectral max throughput
+            # (integrators.cpp:750-758).
+            u_rr = rng.uniform_1d(pixel, sample_idx, dim0 + 4, seed)
+            # stop_gradient: RR is a discrete decision; only the continuous
+            # throughput factors carry gradients (SURVEY.md section 7 "hard
+            # parts" item 4).
+            beta_max = jax.lax.stop_gradient(jnp.max(carry_out["beta"], axis=-1))
+            q = jnp.clip(1.0 - beta_max, 0.0, 0.95)
+            do_rr = depth >= self.rr_start_depth
+            kill = do_rr & (u_rr < q) & carry_out["active"]
+            scale = jnp.where(do_rr & carry_out["active"], 1.0 / jnp.maximum(1.0 - q, 0.05), 1.0)
+            carry_out["beta"] = jnp.where(
+                kill[..., None], 0.0, carry_out["beta"] * scale[..., None]
+            )
+            carry_out["active"] = carry_out["active"] & ~kill
+
+            return carry_out, None
+
+        final, _ = jax.lax.scan(
+            bounce, init, jnp.arange(self.max_depth), length=self.max_depth
+        )
+        return final["L"], {"rays": final["rays"]}

@@ -1,0 +1,81 @@
+"""Render orchestration: camera sample generation -> integrator -> film.
+
+Reference analogue: ImageTileIntegrator::Render + EvaluatePixelSample
+(/root/reference/src/pbrt/cpu/integrators.cpp:67-288) and the wavefront
+Render() loop (wavefront/integrator.cpp:290-493). The reference parallelizes
+with tiles/queues; here one jitted function evaluates a whole *sample wave*
+(every pixel x samples_per_pass samples) as a single batched program, and a
+fori_loop runs waves so compile happens once and memory stays bounded at
+O(pixels x samples_per_pass) in-flight rays — the TPU version of the 1M-sample
+in-flight cap (wavefront/integrator.cpp:227-236).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .cameras.perspective import PerspectiveCamera
+from .core import rng, spectrum
+from .films.rgb import RGBFilm, spectrum_to_rgb
+from .models.path import PathIntegrator
+from .scene import Scene
+
+
+def camera_rays(camera: PerspectiveCamera, pixel, sample_idx, seed,
+                jitter: bool = True):
+    """Generate primary rays + wavelengths for a flat batch of pixel ids."""
+    nx, ny = camera.resolution
+    jx, jy = rng.uniform_2d(pixel, sample_idx, 0, seed)
+    if not jitter:
+        jx = jnp.full_like(jx, 0.5)
+        jy = jnp.full_like(jy, 0.5)
+    px = (pixel % nx).astype(jnp.float32) + jx
+    py = (pixel // nx).astype(jnp.float32) + jy
+    p_film = jnp.stack([px, py], axis=-1)
+    ul0, ul1 = rng.uniform_2d(pixel, sample_idx, 2, seed)
+    o, d = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1))
+    u_wl = rng.uniform_1d(pixel, sample_idx, 4, seed)
+    wl = spectrum.sample_visible(u_wl)
+    return o, d, wl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("integrator", "spp", "samples_per_pass", "jitter"),
+)
+def render(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    integrator: PathIntegrator,
+    spp: int = 16,
+    seed: int = 0,
+    samples_per_pass: int = 1,
+    jitter: bool = True,
+) -> jnp.ndarray:
+    """Render and return the developed linear-RGB image (ny, nx, 3)."""
+    nx, ny = camera.resolution
+    npix = nx * ny
+    pixel = jnp.arange(npix, dtype=jnp.int32)
+    assert spp % samples_per_pass == 0, "spp must divide by samples_per_pass"
+    n_passes = spp // samples_per_pass
+    seed = jnp.asarray(seed, jnp.int32)
+
+    k = samples_per_pass
+    pixel_b = jnp.tile(pixel, (k,))  # (k*npix,)
+
+    def one_pass(pass_idx, film: RGBFilm) -> RGBFilm:
+        sample_b = jnp.repeat(
+            pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix
+        )
+        o, d, wl = camera_rays(camera, pixel_b, sample_b, seed, jitter)
+        radiance = integrator.trace(scene, o, d, wl, pixel_b, sample_b, seed)
+        rgb = spectrum_to_rgb(radiance, wl)  # (k*npix, 3)
+        rgb_img = jnp.mean(rgb.reshape(k, ny, nx, 3), axis=0)
+        return film.add_sample_image(rgb_img)
+
+    film = RGBFilm.zeros((nx, ny))
+    film = jax.lax.fori_loop(0, n_passes, one_pass, film)
+    return film.image()

@@ -1,0 +1,138 @@
+"""Flat geometry buffers and surface-interaction records.
+
+The reference stores a polymorphic Primitive tree
+(/root/reference/src/pbrt/cpu/primitive.h:33-119). Here the whole scene's
+geometry is a handful of dense tensors; primitive identity is an int32 index,
+and per-primitive attributes (material id, area-light id) are parallel arrays
+— the SOA layout the reference's wavefront backend generates with `soac`
+(src/pbrt/util/soa.h) falls out of the representation for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static_field
+
+
+@pytree
+class GeometryBuffers:
+    """All scene geometry in flat arrays.
+
+    tri_verts:  (T, 3, 3) float32 world-space triangle vertices
+    tri_mat:    (T,)      int32   material index
+    tri_light:  (T,)      int32   area-light index, -1 if not emissive
+    sph:        (S, 4)    float32 sphere center + radius
+    sph_mat:    (S,)      int32
+    sph_light:  (S,)      int32
+    """
+
+    tri_verts: jnp.ndarray
+    tri_mat: jnp.ndarray
+    tri_light: jnp.ndarray
+    sph: jnp.ndarray
+    sph_mat: jnp.ndarray
+    sph_light: jnp.ndarray
+
+    @staticmethod
+    def build(
+        tri_verts=None, tri_mat=None, tri_light=None, spheres=None,
+        sph_mat=None, sph_light=None,
+    ) -> "GeometryBuffers":
+        def _arr(x, shape, dtype):
+            if x is None:
+                return jnp.zeros(shape, dtype)
+            return jnp.asarray(x, dtype)
+
+        t = 0 if tri_verts is None else len(tri_verts)
+        s = 0 if spheres is None else len(spheres)
+        return GeometryBuffers(
+            tri_verts=_arr(tri_verts, (t, 3, 3), jnp.float32),
+            tri_mat=_arr(tri_mat, (t,), jnp.int32),
+            tri_light=(
+                jnp.full((t,), -1, jnp.int32)
+                if tri_light is None
+                else jnp.asarray(tri_light, jnp.int32)
+            ),
+            sph=_arr(spheres, (s, 4), jnp.float32),
+            sph_mat=_arr(sph_mat, (s,), jnp.int32),
+            sph_light=(
+                jnp.full((s,), -1, jnp.int32)
+                if sph_light is None
+                else jnp.asarray(sph_light, jnp.int32)
+            ),
+        )
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_verts.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph.shape[0]
+
+
+@pytree
+class Interaction:
+    """Surface interaction SOA (ref: SurfaceInteraction, interaction.h:506).
+
+    All fields are batched over rays. `valid` is the hit mask (the reference's
+    pstd::optional<ShapeIntersection> becomes a mask lane).
+    """
+
+    valid: jnp.ndarray  # (N,) bool
+    t: jnp.ndarray  # (N,) ray parameter
+    p: jnp.ndarray  # (N, 3) hit point
+    n: jnp.ndarray  # (N, 3) geometric normal (unit, faces ray origin side decided by caller)
+    uv: jnp.ndarray  # (N, 2)
+    wo: jnp.ndarray  # (N, 3) outgoing (toward origin)
+    mat: jnp.ndarray  # (N,) int32 material index
+    light: jnp.ndarray  # (N,) int32 area light index or -1
+    prim: jnp.ndarray  # (N,) int32 primitive id (triangles then spheres)
+
+
+# --- Host-side mesh builders (scene construction helpers) -------------------
+
+
+def make_quad(p0, p1, p2, p3) -> np.ndarray:
+    """Two triangles (2, 3, 3) spanning the quad p0 p1 p2 p3 (ccw)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+    return np.stack([np.stack([p0, p1, p2]), np.stack([p0, p2, p3])])
+
+
+def make_box(lo, hi) -> np.ndarray:
+    """12 triangles (12, 3, 3) of an axis-aligned box with inward/outward
+    normals determined by winding (outward)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    quads = [
+        # -z face (looking from -z: ccw)
+        make_quad((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0)),
+        # +z
+        make_quad((x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)),
+        # -y
+        make_quad((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1)),
+        # +y
+        make_quad((x0, y1, z0), (x0, y1, z1), (x1, y1, z1), (x1, y1, z0)),
+        # -x
+        make_quad((x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0)),
+        # +x
+        make_quad((x1, y0, z0), (x1, y1, z0), (x1, y1, z1), (x1, y0, z1)),
+    ]
+    return np.concatenate(quads, axis=0)
+
+
+def triangle_areas(tri_verts) -> jnp.ndarray:
+    e1 = tri_verts[:, 1] - tri_verts[:, 0]
+    e2 = tri_verts[:, 2] - tri_verts[:, 0]
+    return 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+
+
+def triangle_normals(tri_verts) -> jnp.ndarray:
+    e1 = tri_verts[:, 1] - tri_verts[:, 0]
+    e2 = tri_verts[:, 2] - tri_verts[:, 0]
+    n = jnp.cross(e1, e2)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)

@@ -1,0 +1,87 @@
+"""Dense intersection unit tests (ref model: shapes_test.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.accel.dense import intersect_any, intersect_closest
+from pbrt_tpu.shapes.geometry import GeometryBuffers, make_box, make_quad
+
+
+def _geom_single_tri():
+    verts = np.array(
+        [[[0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0]]], np.float32
+    )
+    return GeometryBuffers.build(
+        tri_verts=verts, tri_mat=np.array([3], np.int32)
+    )
+
+
+def test_triangle_hit_miss():
+    g = _geom_single_tri()
+    o = jnp.asarray([[0.2, 0.2, 0.0], [0.9, 0.9, 0.0], [0.2, 0.2, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    it = intersect_closest(g, o, d)
+    np.testing.assert_array_equal(np.asarray(it.valid), [True, False, True])
+    np.testing.assert_allclose(float(it.t[0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(it.p[0]), [0.2, 0.2, 1.0], atol=1e-5)
+    assert int(it.mat[0]) == 3
+    # Barycentric uv at (0.2, 0.2).
+    np.testing.assert_allclose(np.asarray(it.uv[0]), [0.2, 0.2], atol=1e-5)
+    # Normal along +/-z.
+    np.testing.assert_allclose(abs(float(it.n[0, 2])), 1.0, atol=1e-5)
+
+
+def test_sphere_hit():
+    g = GeometryBuffers.build(
+        spheres=np.array([[0.0, 0.0, 5.0, 1.0]], np.float32),
+        sph_mat=np.array([7], np.int32),
+    )
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 3.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    it = intersect_closest(g, o, d)
+    np.testing.assert_array_equal(np.asarray(it.valid), [True, False])
+    np.testing.assert_allclose(float(it.t[0]), 4.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(it.n[0]), [0.0, 0.0, -1.0], atol=1e-4)
+    assert int(it.mat[0]) == 7
+    # From inside the sphere: hits the far shell.
+    o2 = jnp.asarray([[0.0, 0.0, 5.0]])
+    it2 = intersect_closest(g, o2, jnp.asarray([[0.0, 0.0, 1.0]]))
+    np.testing.assert_allclose(float(it2.t[0]), 1.0, rtol=1e-5)
+
+
+def test_closest_of_many():
+    # A box around the origin: ray from outside must hit the near face.
+    g = GeometryBuffers.build(tri_verts=make_box((-1, -1, -1), (1, 1, 1)))
+    o = jnp.asarray([[0.3, 0.2, -5.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    it = intersect_closest(g, o, d)
+    assert bool(it.valid[0])
+    np.testing.assert_allclose(float(it.t[0]), 4.0, rtol=1e-5)
+    np.testing.assert_allclose(float(it.p[0, 2]), -1.0, atol=1e-5)
+
+
+def test_block_scan_padding():
+    # More triangles than one block (block=512) exercises the lax.scan path
+    # and padding; closest among duplicates at increasing depth must win.
+    quads = []
+    for i in range(600):
+        z = 1.0 + i * 0.01
+        quads.append(
+            make_quad((-1, -1, z), (1, -1, z), (1, 1, z), (-1, 1, z))
+        )
+    verts = np.concatenate(quads, axis=0)
+    g = GeometryBuffers.build(tri_verts=verts)
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    it = intersect_closest(g, o, d)
+    np.testing.assert_allclose(float(it.t[0]), 1.0, rtol=1e-5)
+    assert int(it.prim[0]) in (0, 1)
+
+
+def test_intersect_any_tmax():
+    g = _geom_single_tri()
+    o = jnp.asarray([[0.2, 0.2, 0.0], [0.2, 0.2, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    tmax = jnp.asarray([2.0, 0.5])  # second ray stops before the triangle
+    occ = intersect_any(g, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(occ), [True, False])
