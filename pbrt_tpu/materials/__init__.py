@@ -7,5 +7,11 @@ each BxDF family evaluates for all rays and a tag mask selects, replacing the
 reference's TaggedPointer::Dispatch (util/taggedptr.h:22-60).
 """
 
-from .buffers import MaterialBuffers, MAT_DIFFUSE, MAT_CONDUCTOR, MAT_DIELECTRIC  # noqa: F401
-from . import bxdf  # noqa: F401
+from .buffers import (  # noqa: F401
+    MAT_CONDUCTOR,
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE,
+    MAT_THINDIELECTRIC,
+    MaterialBuffers,
+)
+from . import bxdf, scattering  # noqa: F401

@@ -3,6 +3,11 @@
 One row per scene material; `kind` is the dispatch tag. RGB parameters are
 stored as fitted sigmoid-polynomial coefficients (core.rgb2spec) so spectral
 evaluation at sampled wavelengths is a fused polynomial, not a table gather.
+
+Reference analogue: the 12 material classes of
+/root/reference/src/pbrt/materials.h; conductor spectral eta/k presets play
+the role of pbrt's named metal spectra (spectrum.cpp metal IOR tables),
+fitted here from their commonly used RGB projections.
 """
 
 from __future__ import annotations
@@ -10,39 +15,69 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import rgb2spec
-from ..core.pytree import pytree
+from ..core.pytree import pytree, static_field
 
 MAT_DIFFUSE = 0
 MAT_CONDUCTOR = 1
 MAT_DIELECTRIC = 2
+MAT_THINDIELECTRIC = 3
+
+# RGB projections of measured metal IOR spectra (eta, k) — standard values
+# used across renderers for Cu/Au/Ag/Al.
+CONDUCTOR_PRESETS = {
+    "Cu": ((0.2004, 0.9240, 1.1022), (3.9129, 2.4476, 2.1422)),
+    "Au": ((0.1431, 0.3749, 1.4424), (3.9831, 2.3857, 1.6032)),
+    "Ag": ((0.1553, 0.1163, 0.1381), (4.8284, 3.1222, 2.1469)),
+    "Al": ((1.3450, 0.9650, 0.6170), (7.4746, 6.3995, 5.3031)),
+}
 
 
 @pytree
 class MaterialBuffers:
     kind: jnp.ndarray  # (M,) int32 dispatch tag
     albedo_coeffs: jnp.ndarray  # (M, 3) sigmoid coeffs of reflectance
-    roughness: jnp.ndarray  # (M,) GGX alpha (0 = smooth)
-    eta: jnp.ndarray  # (M,) dielectric IOR (or conductor eta proxy)
-    k: jnp.ndarray  # (M,) conductor extinction proxy
+    roughness: jnp.ndarray  # (M,) user roughness (alpha = sqrt(roughness))
+    eta: jnp.ndarray  # (M,) dielectric IOR
+    cond_eta_coeffs: jnp.ndarray  # (M, 3) conductor eta spectrum fit
+    cond_eta_scale: jnp.ndarray  # (M,)
+    cond_k_coeffs: jnp.ndarray  # (M, 3) conductor k spectrum fit
+    cond_k_scale: jnp.ndarray  # (M,)
+    any_conductor: bool = static_field(default=False)
+    any_dielectric: bool = static_field(default=False)
+    any_thin: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
-        """materials: list of dicts with keys kind, albedo(list rgb),
-        roughness, eta, k."""
-        kinds, albedos, rough, eta, k = [], [], [], [], []
+        """materials: list of dicts with keys kind, albedo (rgb), roughness,
+        eta, conductor ("Cu"/"Au"/"Ag"/"Al" or (eta_rgb, k_rgb) pair)."""
+        kinds, albedos, rough, eta = [], [], [], []
+        c_eta, c_k = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
             rough.append(m.get("roughness", 0.0))
             eta.append(m.get("eta", 1.5))
-            k.append(m.get("k", 0.0))
+            cond = m.get("conductor", "Cu")
+            if isinstance(cond, str):
+                cond = CONDUCTOR_PRESETS[cond]
+            c_eta.append(cond[0])
+            c_k.append(cond[1])
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
+        ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
+        ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
+        kinds_arr = jnp.asarray(kinds, jnp.int32)
         return MaterialBuffers(
-            kind=jnp.asarray(kinds, jnp.int32),
+            kind=kinds_arr,
             albedo_coeffs=coeffs,
             roughness=jnp.asarray(rough, jnp.float32),
             eta=jnp.asarray(eta, jnp.float32),
-            k=jnp.asarray(k, jnp.float32),
+            cond_eta_coeffs=ce,
+            cond_eta_scale=ces,
+            cond_k_coeffs=ck,
+            cond_k_scale=cks,
+            any_conductor=any(k == MAT_CONDUCTOR for k in kinds),
+            any_dielectric=any(k == MAT_DIELECTRIC for k in kinds),
+            any_thin=any(k == MAT_THINDIELECTRIC for k in kinds),
         )
 
     def gather(self, mat_idx):
@@ -52,5 +87,11 @@ class MaterialBuffers:
             "albedo_coeffs": self.albedo_coeffs[mat_idx],
             "roughness": self.roughness[mat_idx],
             "eta": self.eta[mat_idx],
-            "k": self.k[mat_idx],
+            "cond_eta_coeffs": self.cond_eta_coeffs[mat_idx],
+            "cond_eta_scale": self.cond_eta_scale[mat_idx],
+            "cond_k_coeffs": self.cond_k_coeffs[mat_idx],
+            "cond_k_scale": self.cond_k_scale[mat_idx],
+            "any_conductor": self.any_conductor,
+            "any_dielectric": self.any_dielectric,
+            "any_thin": self.any_thin,
         }

@@ -1,13 +1,15 @@
 """Branchless BxDF evaluation/sampling over ray batches.
 
 Reference analogue: /root/reference/src/pbrt/bxdfs.h (DiffuseBxDF :30,
-ConductorBxDF :413, DielectricBxDF :300) + BSDF local-frame wrapper
-(bsdf.h:19). Directions here are in the *shading-local* frame (z = shading
-normal). Spectral throughputs have shape (N, S).
+ConductorBxDF :413, DielectricBxDF :300, ThinDielectricBxDF :342) + BSDF
+local-frame wrapper (bsdf.h:19). Directions are in the *shading-local* frame
+(z = shading normal). Spectral throughputs have shape (N, S).
 
-Dispatch model: every BxDF family computes for all rays; the material `kind`
-tag selects per ray with jnp.where. For the small closed set of families this
-evaluate-all-and-select is cheaper on TPU than any divergent dispatch.
+Dispatch model: every BxDF family evaluates for all rays and the material
+`kind` tag selects per ray (jnp.where) — the TPU replacement for
+TaggedPointer::Dispatch (util/taggedptr.h:22-60). For this closed set of
+families, evaluate-all-and-select keeps the VPU fully utilized; tag-sorted
+queue partitioning is the planned optimization for wider material sets.
 """
 
 from __future__ import annotations
@@ -20,16 +22,18 @@ from ..core.sampling import (
     cosine_hemisphere_pdf,
     sample_cosine_hemisphere,
 )
-from .buffers import MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_DIFFUSE
+from ..core.vecmath import normalize
+from . import scattering as sc
+from .buffers import MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_DIFFUSE, MAT_THINDIELECTRIC
 
-_EPS = 1e-7
+_EPS = 1e-8
 
 
-def _cos_theta(w):
+def _cos(w):
     return w[..., 2]
 
 
-def _abs_cos_theta(w):
+def _abscos(w):
     return jnp.abs(w[..., 2])
 
 
@@ -37,62 +41,315 @@ def _same_hemisphere(a, b):
     return a[..., 2] * b[..., 2] > 0.0
 
 
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
 # --- Diffuse (Lambertian) ---------------------------------------------------
 
 
 def diffuse_f(albedo, wo, wi):
-    """albedo: (N, S); wo, wi local. Returns (N, S)."""
     same = _same_hemisphere(wo, wi)
     return jnp.where(same[..., None], albedo * INV_PI, 0.0)
 
 
 def diffuse_sample(albedo, wo, u2):
-    """Cosine-hemisphere sample. Returns (wi, f, pdf)."""
     wi = sample_cosine_hemisphere(u2)
-    wi = wi.at[..., 2].multiply(jnp.sign(jnp.where(wo[..., 2] == 0, 1.0, wo[..., 2])))
-    pdf = cosine_hemisphere_pdf(_abs_cos_theta(wi))
-    f = albedo * INV_PI
-    return wi, f, pdf
+    flip = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)
+    wi = wi.at[..., 2].multiply(flip)
+    pdf = cosine_hemisphere_pdf(_abscos(wi))
+    return wi, albedo * INV_PI, pdf
 
 
 def diffuse_pdf(wo, wi):
     same = _same_hemisphere(wo, wi)
-    return jnp.where(same, cosine_hemisphere_pdf(_abs_cos_theta(wi)), 0.0)
+    return jnp.where(same, cosine_hemisphere_pdf(_abscos(wi)), 0.0)
+
+
+# --- Conductor (bxdfs.h:413) ------------------------------------------------
+
+
+def conductor_f(eta, k, alpha, wo, wi):
+    """Rough-conductor BRDF; 0 where effectively smooth. eta, k: (N, S)."""
+    same = _same_hemisphere(wo, wi)
+    cos_o = _abscos(wo)
+    cos_i = _abscos(wi)
+    wm = wo + wi
+    wm_ok = jnp.sum(wm * wm, axis=-1) > 1e-16
+    wm = normalize(wm)
+    f_spec = sc.fr_complex(
+        jnp.abs(_dot(wo, wm))[..., None], eta, k
+    )  # (N, S)
+    d = sc.ggx_d(wm, alpha)
+    g = sc.ggx_g(wo, wi, alpha)
+    scale = d * g / jnp.maximum(4.0 * cos_o * cos_i, _EPS)
+    rough = ~sc.effectively_smooth(alpha)
+    ok = same & wm_ok & rough & (cos_o > 0) & (cos_i > 0)
+    return jnp.where(ok[..., None], scale[..., None] * f_spec, 0.0)
+
+
+def conductor_pdf(alpha, wo, wi):
+    same = _same_hemisphere(wo, wi)
+    wm = wo + wi
+    wm_ok = jnp.sum(wm * wm, axis=-1) > 1e-16
+    wm = normalize(wm)
+    wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
+    pdf = sc.ggx_pdf_wm(wo, wm, alpha) / jnp.maximum(
+        4.0 * jnp.abs(_dot(wo, wm)), _EPS
+    )
+    rough = ~sc.effectively_smooth(alpha)
+    return jnp.where(same & wm_ok & rough, pdf, 0.0)
+
+
+def conductor_sample(eta, k, alpha, wo, u2):
+    """Returns (wi, f, pdf, specular). Smooth -> perfect mirror delta."""
+    smooth = sc.effectively_smooth(alpha)
+    # Smooth: mirror.
+    wi_s = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    f_s = sc.fr_complex(_abscos(wi_s)[..., None], eta, k) / jnp.maximum(
+        _abscos(wi_s), _EPS
+    )[..., None]
+    # Rough: sample visible normal.
+    wm = sc.ggx_sample_wm(wo, u2, jnp.maximum(alpha, 1e-3))
+    wi_r = -wo + 2.0 * _dot(wo, wm)[..., None] * wm
+    pdf_r = sc.ggx_pdf_wm(wo, wm, alpha) / jnp.maximum(
+        4.0 * jnp.abs(_dot(wo, wm)), _EPS
+    )
+    f_r = conductor_f(eta, k, alpha, wo, wi_r)
+    same_r = _same_hemisphere(wo, wi_r)
+
+    wi = jnp.where(smooth[..., None], wi_s, wi_r)
+    f = jnp.where(smooth[..., None], f_s, f_r)
+    pdf = jnp.where(smooth, 1.0, jnp.where(same_r, pdf_r, 0.0))
+    return wi, f, pdf, smooth
+
+
+# --- Dielectric (bxdfs.h:300) -----------------------------------------------
+
+
+def _dielectric_eta_p(eta, wo_z, reflect):
+    """Effective relative IOR for the generalized half-vector."""
+    eta_side = jnp.where(wo_z > 0.0, eta, 1.0 / eta)
+    return jnp.where(reflect, 1.0, eta_side)
+
+
+def dielectric_f(eta, alpha, wo, wi):
+    """Rough dielectric BSDF (radiance transport). eta: (N,) scalar IOR.
+
+    Returns (N,) scalar density broadcast to (N, S) by the caller
+    (no dispersion until spectral eta lands).
+    """
+    rough = ~sc.effectively_smooth(alpha)
+    cos_o = _cos(wo)
+    cos_i = _cos(wi)
+    reflect = cos_o * cos_i > 0.0
+    eta_p = _dielectric_eta_p(eta, cos_o, reflect)
+    wm_raw = wi * eta_p[..., None] + wo
+    wm_ok = (
+        (jnp.abs(cos_o) > 1e-8)
+        & (jnp.abs(cos_i) > 1e-8)
+        & (jnp.sum(wm_raw * wm_raw, axis=-1) > 1e-16)
+    )
+    wm = normalize(wm_raw)
+    wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
+    backface = (_dot(wm, wi) * cos_i < 0.0) | (_dot(wm, wo) * cos_o < 0.0)
+    fr = sc.fr_dielectric(_dot(wo, wm), eta)
+    d = sc.ggx_d(wm, alpha)
+    g = sc.ggx_g(wo, wi, alpha)
+    # Reflection term.
+    f_refl = d * g * fr / jnp.maximum(jnp.abs(4.0 * cos_o * cos_i), _EPS)
+    # Transmission term (radiance mode: extra 1/eta_p^2).
+    denom = (_dot(wi, wm) + _dot(wo, wm) / jnp.maximum(eta_p, _EPS)) ** 2
+    f_trans = (
+        d
+        * (1.0 - fr)
+        * g
+        * jnp.abs(
+            _dot(wi, wm)
+            * _dot(wo, wm)
+            / jnp.maximum(jnp.abs(cos_i * cos_o) * denom, _EPS)
+        )
+        / jnp.maximum(eta_p * eta_p, _EPS)
+    )
+    f = jnp.where(reflect, f_refl, f_trans)
+    ok = rough & wm_ok & ~backface
+    return jnp.where(ok, f, 0.0)
+
+
+def dielectric_pdf(eta, alpha, wo, wi):
+    rough = ~sc.effectively_smooth(alpha)
+    cos_o = _cos(wo)
+    cos_i = _cos(wi)
+    reflect = cos_o * cos_i > 0.0
+    eta_p = _dielectric_eta_p(eta, cos_o, reflect)
+    wm_raw = wi * eta_p[..., None] + wo
+    wm_ok = (
+        (jnp.abs(cos_o) > 1e-8)
+        & (jnp.abs(cos_i) > 1e-8)
+        & (jnp.sum(wm_raw * wm_raw, axis=-1) > 1e-16)
+    )
+    wm = normalize(wm_raw)
+    wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
+    backface = (_dot(wm, wi) * cos_i < 0.0) | (_dot(wm, wo) * cos_o < 0.0)
+    fr = sc.fr_dielectric(_dot(wo, wm), eta)
+    pr = fr
+    pt = 1.0 - fr
+    pdf_wm = sc.ggx_pdf_wm(wo, wm, alpha)
+    pdf_refl = pdf_wm / jnp.maximum(4.0 * jnp.abs(_dot(wo, wm)), _EPS) * pr
+    denom = (_dot(wi, wm) + _dot(wo, wm) / jnp.maximum(eta_p, _EPS)) ** 2
+    dwm_dwi = jnp.abs(_dot(wi, wm)) / jnp.maximum(denom, _EPS)
+    pdf_trans = pdf_wm * dwm_dwi * pt
+    pdf = jnp.where(reflect, pdf_refl, pdf_trans)
+    return jnp.where(rough & wm_ok & ~backface, pdf, 0.0)
+
+
+def dielectric_sample(eta, alpha, wo, u2, uc):
+    """Returns (wi, f_scalar, pdf, specular). Chooses reflect/transmit by uc.
+    Smooth case is a delta lobe (specular=True)."""
+    smooth = sc.effectively_smooth(alpha)
+
+    # --- Smooth: Fresnel-weighted reflect/refract deltas.
+    fr_s = sc.fr_dielectric(_cos(wo), eta)
+    refl_s = uc < fr_s
+    wi_refl = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    n_local = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], wo.dtype), wo.shape)
+    from ..core.vecmath import refract as _refract
+
+    valid_t, wi_trans, eta_eff = _refract(wo, n_local, eta)
+    f_refl_s = fr_s / jnp.maximum(_abscos(wi_refl), _EPS)
+    f_trans_s = (
+        (1.0 - fr_s)
+        / jnp.maximum(_abscos(wi_trans), _EPS)
+        / jnp.maximum(eta_eff * eta_eff, _EPS)
+    )
+    wi_sm = jnp.where(refl_s[..., None], wi_refl, wi_trans)
+    f_sm = jnp.where(refl_s, f_refl_s, jnp.where(valid_t, f_trans_s, 0.0))
+    pdf_sm = jnp.where(refl_s, fr_s, jnp.where(valid_t, 1.0 - fr_s, 0.0))
+
+    # --- Rough: microfacet reflect/transmit.
+    alpha_r = jnp.maximum(alpha, 1e-3)
+    wm = sc.ggx_sample_wm(wo, u2, alpha_r)
+    fr_r = sc.fr_dielectric(_dot(wo, wm), eta)
+    refl_r = uc < fr_r
+    wi_r_refl = -wo + 2.0 * _dot(wo, wm)[..., None] * wm
+    valid_rt, wi_r_trans, _ = _refract(wo, wm, eta)
+    wi_r = jnp.where(refl_r[..., None], wi_r_refl, wi_r_trans)
+    f_r = dielectric_f(eta, alpha, wo, wi_r)
+    pdf_r = dielectric_pdf(eta, alpha, wo, wi_r)
+    ok_r = jnp.where(refl_r, _same_hemisphere(wo, wi_r_refl), valid_rt)
+
+    wi = jnp.where(smooth[..., None], wi_sm, wi_r)
+    f = jnp.where(smooth, f_sm, jnp.where(ok_r, f_r, 0.0))
+    pdf = jnp.where(smooth, pdf_sm, jnp.where(ok_r, pdf_r, 0.0))
+    return wi, f, pdf, smooth
+
+
+# --- Thin dielectric (bxdfs.h:342) ------------------------------------------
+
+
+def thin_dielectric_sample(eta, wo, uc):
+    """Thin slab: inter-reflection-summed R' and straight-through T'."""
+    r = sc.fr_dielectric(jnp.abs(_cos(wo)), eta)
+    r = jnp.where(
+        r < 1.0, r + (1.0 - r) ** 2 * r / jnp.maximum(1.0 - r * r, _EPS), r
+    )
+    t = 1.0 - r
+    refl = uc < r
+    wi_refl = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    wi_trans = -wo
+    wi = jnp.where(refl[..., None], wi_refl, wi_trans)
+    f = jnp.where(refl, r, t) / jnp.maximum(_abscos(wi), _EPS)
+    pdf = jnp.where(refl, r, t)
+    return wi, f, pdf
 
 
 # --- Unified per-ray dispatch ----------------------------------------------
 
 
-def evaluate(params, wo, wi, lam):
-    """f(wo, wi) for each ray given gathered material params.
+def _gather_spectral_eta_k(params, lam):
+    eta = rgb2spec.eval_unbounded(
+        params["cond_eta_coeffs"], params["cond_eta_scale"], lam
+    )
+    k = rgb2spec.eval_unbounded(
+        params["cond_k_coeffs"], params["cond_k_scale"], lam
+    )
+    return eta, k
 
-    params: dict from MaterialBuffers.gather; lam: (N, S) wavelengths.
-    Returns (N, S). Specular (smooth conductor/dielectric) kinds return 0
-    here — their contribution arrives only through sampling.
+
+def evaluate(params, wo, wi, lam):
+    """f(wo, wi) for each ray given gathered material params; (N, S).
+
+    Delta lobes (smooth conductor/dielectric/thin) return 0 here — their
+    contribution arrives only through sampling.
     """
-    albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
-    f_d = diffuse_f(albedo, wo, wi)
     kind = params["kind"]
-    return jnp.where((kind == MAT_DIFFUSE)[..., None], f_d, 0.0)
+    albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
+    alpha = sc.roughness_to_alpha(params["roughness"])
+
+    f = jnp.where(
+        (kind == MAT_DIFFUSE)[..., None], diffuse_f(albedo, wo, wi), 0.0
+    )
+    any_cond = params["any_conductor"]
+    if any_cond:
+        eta_c, k_c = _gather_spectral_eta_k(params, lam)
+        f = jnp.where(
+            (kind == MAT_CONDUCTOR)[..., None],
+            conductor_f(eta_c, k_c, alpha, wo, wi),
+            f,
+        )
+    if params["any_dielectric"]:
+        f_d = dielectric_f(params["eta"], alpha, wo, wi)
+        f = jnp.where((kind == MAT_DIELECTRIC)[..., None], f_d[..., None], f)
+    return f
 
 
 def pdf(params, wo, wi):
-    p_d = diffuse_pdf(wo, wi)
     kind = params["kind"]
-    return jnp.where(kind == MAT_DIFFUSE, p_d, 0.0)
+    alpha = sc.roughness_to_alpha(params["roughness"])
+    p = jnp.where(kind == MAT_DIFFUSE, diffuse_pdf(wo, wi), 0.0)
+    if params["any_conductor"]:
+        p = jnp.where(kind == MAT_CONDUCTOR, conductor_pdf(alpha, wo, wi), p)
+    if params["any_dielectric"]:
+        p = jnp.where(
+            kind == MAT_DIELECTRIC, dielectric_pdf(params["eta"], alpha, wo, wi), p
+        )
+    return p
 
 
 def sample(params, wo, lam, u2, uc):
-    """Sample wi for each ray. Returns dict(wi, f, pdf, specular).
-
-    uc is reserved for lobe selection in layered/dielectric materials.
-    """
-    albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
-    wi_d, f_d, pdf_d = diffuse_sample(albedo, wo, u2)
+    """Sample wi for each ray. Returns dict(wi, f, pdf, specular)."""
     kind = params["kind"]
-    is_diffuse = kind == MAT_DIFFUSE
-    wi = wi_d
-    f = jnp.where(is_diffuse[..., None], f_d, 0.0)
-    p = jnp.where(is_diffuse, pdf_d, 0.0)
-    specular = jnp.zeros_like(is_diffuse)
+    albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
+    alpha = sc.roughness_to_alpha(params["roughness"])
+
+    wi, f, p = diffuse_sample(albedo, wo, u2)
+    specular = jnp.zeros(wo.shape[:-1], bool)
+
+    if params["any_conductor"]:
+        eta_c, k_c = _gather_spectral_eta_k(params, lam)
+        wi_c, f_c, p_c, spec_c = conductor_sample(eta_c, k_c, alpha, wo, u2)
+        m = kind == MAT_CONDUCTOR
+        wi = jnp.where(m[..., None], wi_c, wi)
+        f = jnp.where(m[..., None], f_c, f)
+        p = jnp.where(m, p_c, p)
+        specular = jnp.where(m, spec_c, specular)
+
+    if params["any_dielectric"]:
+        wi_d, f_d, p_d, spec_d = dielectric_sample(
+            params["eta"], alpha, wo, u2, uc
+        )
+        m = kind == MAT_DIELECTRIC
+        wi = jnp.where(m[..., None], wi_d, wi)
+        f = jnp.where(m[..., None], f_d[..., None], f)
+        p = jnp.where(m, p_d, p)
+        specular = jnp.where(m, spec_d, specular)
+
+    if params["any_thin"]:
+        wi_t, f_t, p_t = thin_dielectric_sample(params["eta"], wo, uc)
+        m = kind == MAT_THINDIELECTRIC
+        wi = jnp.where(m[..., None], wi_t, wi)
+        f = jnp.where(m[..., None], f_t[..., None], f)
+        p = jnp.where(m, p_t, p)
+        specular = specular | m
+
     return {"wi": wi, "f": f, "pdf": p, "specular": specular}

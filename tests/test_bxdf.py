@@ -1,0 +1,226 @@
+"""BSDF sampling/evaluation consistency tests.
+
+Modeled on the reference's chi-squared BSDF tests
+(/root/reference/src/pbrt/bsdfs_test.cpp:31-501): frequency tables from
+Sample_f draws vs quadrature of PDF, energy conservation, and
+sample/eval/pdf agreement. Sample counts are scaled down for CI speed; the
+statistical tolerances are correspondingly loose but catch sign/Jacobian
+errors outright.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.core import rng, spectrum
+from pbrt_tpu.core.vecmath import normalize
+from pbrt_tpu.materials import bxdf, scattering as sc
+from pbrt_tpu.materials.buffers import (
+    MAT_CONDUCTOR,
+    MAT_DIELECTRIC,
+    MAT_THINDIELECTRIC,
+    MaterialBuffers,
+)
+
+
+def _params(kind, n, **kw):
+    mats = MaterialBuffers.build([dict(kind=kind, **kw)])
+    return mats.gather(jnp.zeros((n,), jnp.int32))
+
+
+def _u2(n, seed=0):
+    i = jnp.arange(n, dtype=jnp.int32)
+    a, b = rng.uniform_2d(i, 0, 0, seed)
+    return jnp.stack([a, b], axis=-1)
+
+
+def _uc(n, seed=1):
+    return rng.uniform_1d(jnp.arange(n, dtype=jnp.int32), 0, 1, seed)
+
+
+def _lam(n):
+    return spectrum.sample_uniform_hero(jnp.full((n,), 0.37)).lam
+
+
+def test_ggx_ndf_normalizes():
+    # integral over hemisphere of D(wm) cos(wm) == 1.
+    nt, np_ = 256, 64
+    theta = (jnp.arange(nt) + 0.5) / nt * (jnp.pi / 2)
+    phi = (jnp.arange(np_) + 0.5) / np_ * (2 * jnp.pi)
+    tg, pg = jnp.meshgrid(theta, phi, indexing="ij")
+    wm = jnp.stack(
+        [jnp.sin(tg) * jnp.cos(pg), jnp.sin(tg) * jnp.sin(pg), jnp.cos(tg)],
+        axis=-1,
+    ).reshape(-1, 3)
+    for alpha in (0.1, 0.4, 0.9):
+        d = sc.ggx_d(wm, alpha)
+        w = (jnp.sin(tg) * jnp.cos(tg)).reshape(-1)
+        integral = float(
+            jnp.sum(d * w) * (jnp.pi / 2 / nt) * (2 * jnp.pi / np_)
+        )
+        assert abs(integral - 1.0) < 0.02, (alpha, integral)
+
+
+def test_conductor_pdf_integrates_to_one():
+    """Visible-NDF reflection pdf integrates to ~1 over the hemisphere."""
+    n = 200_000
+    u = _u2(n)
+    wi = jnp.stack(
+        [
+            jnp.sqrt(u[:, 0]) * jnp.cos(2 * jnp.pi * u[:, 1]),
+            jnp.sqrt(u[:, 0]) * jnp.sin(2 * jnp.pi * u[:, 1]),
+            jnp.sqrt(1 - u[:, 0]),
+        ],
+        axis=-1,
+    )  # cosine-distributed directions, pdf = cos/pi
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.4, 0.1, 0.8]), (n, 3)))
+    # The visible-NDF pdf loses the mass of half-vectors whose reflection
+    # falls below the horizon, so the integral is <= 1 and approaches 1 as
+    # alpha -> 0 (pbrt keeps the same convention: f=0, pdf unchanged there).
+    for alpha, lo in ((0.15, 0.97), (0.5, 0.6)):
+        p = bxdf.conductor_pdf(jnp.full((n,), alpha), wo, wi)
+        est = float(jnp.mean(p / (wi[:, 2] / jnp.pi)))
+        assert lo < est <= 1.005, (alpha, est)
+
+
+def test_conductor_sample_pdf_histogram():
+    """Chi-square-lite: histogram of sampled wi matches pdf quadrature."""
+    n = 400_000
+    alpha = jnp.full((n,), 0.35)
+    params = _params(MAT_CONDUCTOR, n, roughness=0.35**2, conductor="Cu")
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.0, 0.9]), (n, 3)))
+    lam = _lam(n)
+    out = bxdf.sample(params, wo, lam, _u2(n), _uc(n))
+    wi = np.asarray(out["wi"])
+    assert not bool(out["specular"][0])
+    # Keep only accepted samples (below-horizon reflections have pdf 0).
+    valid = (np.asarray(out["pdf"]) > 0) & (wi[:, 2] > 0)
+    wi = wi[valid]
+    # Bin over cos(theta): compare sampled frequency with pdf-derived mass.
+    nb = 16
+    cos_bins = np.clip((wi[:, 2] * nb).astype(int), 0, nb - 1)
+    counts = np.bincount(cos_bins, minlength=nb) / valid.sum()
+    # Quadrature of pdf over each cos bin x phi.
+    nt, np_ = 512, 128
+    ct = (np.arange(nt) + 0.5) / nt  # cos theta in (0,1)
+    ph = (np.arange(np_) + 0.5) / np_ * 2 * np.pi
+    cg, pg = np.meshgrid(ct, ph, indexing="ij")
+    st = np.sqrt(1 - cg**2)
+    wig = jnp.asarray(
+        np.stack([st * np.cos(pg), st * np.sin(pg), cg], -1).reshape(-1, 3),
+        jnp.float32,
+    )
+    wog = normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.0, 0.9]), (wig.shape[0], 3)))
+    pg_pdf = np.asarray(
+        bxdf.conductor_pdf(jnp.full((wig.shape[0],), 0.35), wog, wig)
+    ).reshape(nt, np_)
+    # d(omega) = dcos dtheta dphi
+    mass_per_cos = pg_pdf.sum(axis=1) * (1.0 / nt) * (2 * np.pi / np_)
+    expected = np.add.reduceat(
+        mass_per_cos, np.arange(0, nt, nt // nb)
+    )
+    expected /= expected.sum()
+    counts_n = counts / counts.sum()
+    # Generous tolerance; catches wrong Jacobians (which are >2x off).
+    np.testing.assert_allclose(counts_n, expected, atol=0.012)
+
+
+def test_conductor_energy_conservation():
+    """rho = E[f cos / pdf] <= max Fresnel <= 1 (white furnace bound)."""
+    n = 300_000
+    params = _params(MAT_CONDUCTOR, n, roughness=0.25, conductor="Ag")
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.2, -0.3, 0.8]), (n, 3)))
+    lam = _lam(n)
+    out = bxdf.sample(params, wo, lam, _u2(n), _uc(n))
+    w = jnp.where(
+        (out["pdf"] > 0)[:, None],
+        out["f"] * jnp.abs(out["wi"][:, 2:3]) / jnp.maximum(out["pdf"], 1e-12)[:, None],
+        0.0,
+    )
+    rho = float(jnp.mean(w))
+    assert 0.3 < rho <= 1.02, rho
+
+
+def test_conductor_f_reciprocal():
+    n = 4096
+    alpha = jnp.full((n,), 0.4)
+    eta = jnp.ones((n, 4)) * 0.2
+    k = jnp.ones((n, 4)) * 3.9
+    a = normalize(jnp.asarray(np.random.default_rng(0).normal(size=(n, 3)), jnp.float32))
+    b = normalize(jnp.asarray(np.random.default_rng(1).normal(size=(n, 3)), jnp.float32))
+    a = a.at[:, 2].set(jnp.abs(a[:, 2]) + 0.05)
+    b = b.at[:, 2].set(jnp.abs(b[:, 2]) + 0.05)
+    a, b = normalize(a), normalize(b)
+    f_ab = bxdf.conductor_f(eta, k, alpha, a, b)
+    f_ba = bxdf.conductor_f(eta, k, alpha, b, a)
+    np.testing.assert_allclose(np.asarray(f_ab), np.asarray(f_ba), rtol=2e-3, atol=1e-5)
+
+
+def test_dielectric_sample_consistency():
+    """Sampled (wi, f, pdf) must agree with dielectric_f / dielectric_pdf."""
+    n = 50_000
+    eta = jnp.full((n,), 1.5)
+    alpha = jnp.full((n,), 0.3)
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.45, 0.2, 0.87]), (n, 3)))
+    wi, f, p, spec = bxdf.dielectric_sample(eta, alpha, wo, _u2(n), _uc(n))
+    assert not bool(spec[0])
+    ok = np.asarray(p) > 1e-6
+    f2 = np.asarray(bxdf.dielectric_f(eta, alpha, wo, wi))
+    p2 = np.asarray(bxdf.dielectric_pdf(eta, alpha, wo, wi))
+    np.testing.assert_allclose(np.asarray(f)[ok], f2[ok], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p)[ok], p2[ok], rtol=2e-3, atol=1e-5)
+    # Both hemispheres are reached (reflection and transmission).
+    frac_trans = (np.asarray(wi[:, 2]) < 0).mean()
+    assert 0.5 < frac_trans < 0.98, frac_trans
+
+
+def test_dielectric_rough_energy():
+    """Single-scatter GGX glass: total scattered *energy* in (0.75, 1.02].
+
+    The BSDF is radiance-mode (transmission carries 1/eta_p^2, bxdfs.h:300 /
+    the reference's DielectricBxDF); for an energy audit the transmitted
+    weights must be multiplied back by eta_p^2.
+    """
+    n = 200_000
+    eta = jnp.full((n,), 1.5)
+    alpha = jnp.full((n,), 0.4)
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)))
+    wi, f, p, _ = bxdf.dielectric_sample(eta, alpha, wo, _u2(n), _uc(n))
+    w = jnp.where(p > 1e-9, f * jnp.abs(wi[:, 2]) / jnp.maximum(p, 1e-12), 0.0)
+    transmitted = wi[:, 2] < 0
+    w = jnp.where(transmitted, w * eta * eta, w)
+    total = float(jnp.mean(w))
+    assert 0.75 < total <= 1.02, total
+
+
+def test_smooth_dielectric_snell():
+    n = 1024
+    eta = jnp.full((n,), 1.5)
+    alpha = jnp.zeros((n,))
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.866]), (n, 3)))
+    uc = jnp.linspace(0, 0.999, n)  # sweep: low uc -> reflect, high -> transmit
+    wi, f, p, spec = bxdf.dielectric_sample(eta, alpha, wo, _u2(n), uc)
+    assert bool(spec.all())
+    wi_np = np.asarray(wi)
+    refl = wi_np[:, 2] > 0
+    assert refl.any() and (~refl).any()
+    # Transmitted rays obey Snell: sin_t = sin_i / eta.
+    sin_i = np.linalg.norm(np.asarray(wo)[0, :2])
+    sin_t = np.linalg.norm(wi_np[~refl][:, :2], axis=1)
+    np.testing.assert_allclose(sin_t, sin_i / 1.5, atol=1e-4)
+
+
+def test_thin_dielectric_energy():
+    n = 4096
+    eta = jnp.full((n,), 1.5)
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.95]), (n, 3)))
+    uc = jnp.linspace(0, 0.999, n)
+    wi, f, p = bxdf.thin_dielectric_sample(eta, wo, uc)
+    # Energy: sum over branches of f*cos/pdf == 1 exactly.
+    w = np.asarray(f * jnp.abs(wi[:, 2]) / jnp.maximum(p, 1e-12))
+    np.testing.assert_allclose(w, 1.0, rtol=1e-4)
+    # The transmission branch goes straight through (wi == -wo).
+    trans_mask = np.asarray(wi)[:, 2] < 0
+    assert trans_mask.any() and (~trans_mask).any()
+    np.testing.assert_allclose(
+        np.asarray(wi)[trans_mask], -np.asarray(wo)[trans_mask], atol=1e-5
+    )

@@ -119,3 +119,18 @@ def test_cornell_render_smoke():
     assert right[1] > right[0], right
     # Ceiling light region is the brightest patch.
     assert img[:6].max() > img[16:].max()
+
+
+def test_cornell_specular_smoke():
+    """Glass sphere + copper box variant: conductor/dielectric paths render
+    finite with plausible energy (between black and the light's radiance)."""
+    scene, camera = cornell_box(resolution=(32, 32), variant="specular")
+    integrator = PathIntegrator(max_depth=6)
+    img = np.asarray(
+        render(scene, camera, integrator, spp=16, samples_per_pass=4)
+    )
+    assert np.isfinite(img).all()
+    assert 0.01 < img.mean() < 5.0
+    # Copper box region (left-center rows) should be red-tinted (Cu tint).
+    box = img[10:20, 7:14].mean(axis=(0, 1))
+    assert box[0] > box[2], box
