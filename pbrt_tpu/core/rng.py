@@ -19,6 +19,8 @@ _U32 = jnp.uint32
 
 
 def _u32(x):
+    if isinstance(x, int):
+        return _U32(x & 0xFFFFFFFF)
     return jnp.asarray(x).astype(_U32)
 
 

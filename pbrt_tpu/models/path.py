@@ -41,20 +41,24 @@ class PathIntegrator:
     use_nee: bool = static_field(default=True)
     use_mis: bool = static_field(default=True)
 
-    def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, seed):
+    def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         """Estimate radiance along N camera rays. Returns (N, S)."""
         return self.trace_with_stats(
-            scene, o, d, wl, pixel, sample_idx, seed
+            scene, o, d, wl, pixel, sample_idx, sampler
         )[0]
 
-    def trace_with_stats(self, scene: Scene, o, d, wl, pixel, sample_idx, seed):
+    def trace_with_stats(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         """Estimate radiance along N camera rays.
 
         o, d: (N, 3); wl: SampledWavelengths (N, S); pixel: (N,) int32 ids;
-        sample_idx, seed: scalars. Returns ((N, S) radiance, stats dict with
-        'rays' = number of closest-hit + shadow queries actually alive —
-        the quantity Mrays/s benchmarks count).
+        sample_idx: scalar; sampler: a samplers.Sampler or an int seed.
+        Returns ((N, S) radiance, stats dict with 'rays' = number of
+        closest-hit + shadow queries actually alive — the quantity Mrays/s
+        benchmarks count).
         """
+        from ..samplers.samplers import as_sampler
+
+        sampler = as_sampler(sampler)
         n = o.shape[0]
         s = wl.lam.shape[-1]
         have_lights = scene.lights.n_lights > 0
@@ -123,8 +127,8 @@ class PathIntegrator:
 
             # --- Next-event estimation (integrators.cpp SampleLd :727-805).
             if self.use_nee and have_lights:
-                u_sel = rng.uniform_1d(pixel, sample_idx, dim0 + 0, seed)
-                up0, up1 = rng.uniform_2d(pixel, sample_idx, dim0 + 1, seed)
+                u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
+                up0, up1 = sampler.get_2d(pixel, sample_idx, dim0 + 1)
                 u_pos = jnp.stack([up0, up1], axis=-1)
                 ls = scene.lights.sample_li(isect.p, lam, u_sel, u_pos)
                 wi_l = to_local(ls.wi, t1, t2, ns)
@@ -164,8 +168,8 @@ class PathIntegrator:
                 n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.float32))
 
             # --- BSDF sampling -> next ray (integrators.cpp:736-758).
-            uc = rng.uniform_1d(pixel, sample_idx, dim0 + 2, seed)
-            ub0, ub1 = rng.uniform_2d(pixel, sample_idx, dim0 + 3, seed)
+            uc = sampler.get_1d(pixel, sample_idx, dim0 + 2)
+            ub0, ub1 = sampler.get_2d(pixel, sample_idx, dim0 + 3)
             bs = bxdf.sample(
                 params, wo_l, lam, jnp.stack([ub0, ub1], axis=-1), uc
             )
@@ -191,7 +195,7 @@ class PathIntegrator:
 
             # --- Russian roulette on spectral max throughput
             # (integrators.cpp:750-758).
-            u_rr = rng.uniform_1d(pixel, sample_idx, dim0 + 4, seed)
+            u_rr = sampler.get_1d(pixel, sample_idx, dim0 + 4)
             # stop_gradient: RR is a discrete decision; only the continuous
             # throughput factors carry gradients (SURVEY.md section 7 "hard
             # parts" item 4).

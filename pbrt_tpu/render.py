@@ -18,33 +18,39 @@ import jax
 import jax.numpy as jnp
 
 from .cameras.perspective import PerspectiveCamera
-from .core import rng, spectrum
+from .core import spectrum
 from .films.rgb import RGBFilm, spectrum_to_rgb
 from .models.path import PathIntegrator
 from .scene import Scene
 
 
-def camera_rays(camera: PerspectiveCamera, pixel, sample_idx, seed,
+def camera_rays(camera: PerspectiveCamera, pixel, sample_idx, sampler,
                 jitter: bool = True):
-    """Generate primary rays + wavelengths for a flat batch of pixel ids."""
+    """Generate primary rays + wavelengths for a flat batch of pixel ids.
+
+    sampler: a samplers.Sampler or an int seed (-> independent).
+    """
+    from .samplers.samplers import as_sampler
+
+    sampler = as_sampler(sampler)
     nx, ny = camera.resolution
-    jx, jy = rng.uniform_2d(pixel, sample_idx, 0, seed)
+    jx, jy = sampler.get_2d(pixel, sample_idx, 0)
     if not jitter:
         jx = jnp.full_like(jx, 0.5)
         jy = jnp.full_like(jy, 0.5)
     px = (pixel % nx).astype(jnp.float32) + jx
     py = (pixel // nx).astype(jnp.float32) + jy
     p_film = jnp.stack([px, py], axis=-1)
-    ul0, ul1 = rng.uniform_2d(pixel, sample_idx, 2, seed)
+    ul0, ul1 = sampler.get_2d(pixel, sample_idx, 2)
     o, d = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1))
-    u_wl = rng.uniform_1d(pixel, sample_idx, 4, seed)
+    u_wl = sampler.get_1d(pixel, sample_idx, 4)
     wl = spectrum.sample_visible(u_wl)
     return o, d, wl
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("integrator", "spp", "samples_per_pass", "jitter"),
+    static_argnames=("integrator", "spp", "samples_per_pass", "jitter", "sampler_kind"),
 )
 def render(
     scene: Scene,
@@ -54,14 +60,19 @@ def render(
     seed: int = 0,
     samples_per_pass: int = 1,
     jitter: bool = True,
+    sampler_kind: str = "independent",
 ) -> jnp.ndarray:
     """Render and return the developed linear-RGB image (ny, nx, 3)."""
+    from .samplers.samplers import Sampler
+
+    sampler = Sampler(
+        seed=jnp.asarray(seed, jnp.int32), kind=sampler_kind, spp=spp
+    )
     nx, ny = camera.resolution
     npix = nx * ny
     pixel = jnp.arange(npix, dtype=jnp.int32)
     assert spp % samples_per_pass == 0, "spp must divide by samples_per_pass"
     n_passes = spp // samples_per_pass
-    seed = jnp.asarray(seed, jnp.int32)
 
     k = samples_per_pass
     pixel_b = jnp.tile(pixel, (k,))  # (k*npix,)
@@ -70,8 +81,10 @@ def render(
         sample_b = jnp.repeat(
             pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix
         )
-        o, d, wl = camera_rays(camera, pixel_b, sample_b, seed, jitter)
-        radiance = integrator.trace(scene, o, d, wl, pixel_b, sample_b, seed)
+        o, d, wl = camera_rays(camera, pixel_b, sample_b, sampler, jitter)
+        radiance = integrator.trace(
+            scene, o, d, wl, pixel_b, sample_b, sampler
+        )
         rgb = spectrum_to_rgb(radiance, wl)  # (k*npix, 3)
         rgb_img = jnp.mean(rgb.reshape(k, ny, nx, 3), axis=0)
         return film.add_sample_image(rgb_img)
