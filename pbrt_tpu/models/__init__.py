@@ -9,3 +9,4 @@ pytree of arrays).
 """
 
 from .path import PathIntegrator  # noqa: F401
+from .volpath import VolPathIntegrator  # noqa: F401

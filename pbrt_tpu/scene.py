@@ -9,9 +9,12 @@ is differentiable.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from .core.pytree import pytree
 from .lights.buffers import LightBuffers
 from .materials.buffers import MaterialBuffers
+from .media.medium import MediumBuffers
 from .shapes.geometry import GeometryBuffers
 
 
@@ -20,3 +23,5 @@ class Scene:
     geom: GeometryBuffers
     materials: MaterialBuffers
     lights: LightBuffers
+    # Scene-level participating medium (None == vacuum everywhere).
+    medium: Optional[MediumBuffers] = None
