@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.gather import gather_rows
 from ..core.vecmath import cross, dot, normalize
 from ..shapes.geometry import GeometryBuffers, Interaction
 
@@ -193,6 +194,17 @@ def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
             jnp.int32(n_tri),
         )
 
+    return assemble_interaction(geom, o, d, best)
+
+
+def assemble_interaction(geom: GeometryBuffers, o, d, best) -> Interaction:
+    """Build the Interaction SOA from a (t, prim_idx, u, v) best-hit tuple.
+
+    prim indices < num_triangles are triangles; the rest are spheres.
+    """
+    n_rays = o.shape[0]
+    n_tri = geom.num_triangles
+    n_sph = geom.num_spheres
     t, idx, u, v = best
     valid = idx >= 0
     idx_safe = jnp.maximum(idx, 0)
@@ -202,10 +214,10 @@ def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
     is_tri = valid & (idx < n_tri)
     if n_tri > 0:
         tri_idx = jnp.clip(idx_safe, 0, n_tri - 1)
-        tv = geom.tri_verts[tri_idx]
+        tv = gather_rows(geom.tri_verts, tri_idx)
         n_tri_geo = normalize(cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]))
-        mat_tri = geom.tri_mat[tri_idx]
-        light_tri = geom.tri_light[tri_idx]
+        mat_tri = gather_rows(geom.tri_mat, tri_idx)
+        light_tri = gather_rows(geom.tri_light, tri_idx)
     else:
         n_tri_geo = jnp.zeros_like(o)
         mat_tri = jnp.zeros((n_rays,), jnp.int32)
@@ -213,10 +225,10 @@ def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
 
     if n_sph > 0:
         sph_idx = jnp.clip(idx_safe - n_tri, 0, n_sph - 1)
-        sc = geom.sph[sph_idx]
+        sc = gather_rows(geom.sph, sph_idx)
         n_sph_geo = normalize(p - sc[:, :3])
-        mat_sph = geom.sph_mat[sph_idx]
-        light_sph = geom.sph_light[sph_idx]
+        mat_sph = gather_rows(geom.sph_mat, sph_idx)
+        light_sph = gather_rows(geom.sph_light, sph_idx)
     else:
         n_sph_geo = jnp.zeros_like(o)
         mat_sph = jnp.zeros((n_rays,), jnp.int32)

@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import cie, rgb2spec
+from ..core.gather import gather_rows
 from ..core.pytree import pytree, static_field
 from ..core.sampling import sample_uniform_triangle
 from ..core.vecmath import dot, normalize
@@ -176,7 +177,10 @@ class LightBuffers:
             return jnp.zeros_like(lam)
         i = jnp.clip(light_idx, 0, self.n_area - 1)
         return eval_emission(
-            self.area_coeffs[i], self.area_scale[i], self.area_illum[i], lam
+            gather_rows(self.area_coeffs, i),
+            gather_rows(self.area_scale, i),
+            gather_rows(self.area_illum, i),
+            lam,
         )
 
     def emitted(self, light_idx, n_geo, wo, lam):
@@ -187,7 +191,9 @@ class LightBuffers:
         if self.n_area == 0:
             return jnp.zeros_like(lam)
         front = dot(n_geo, wo) > 0.0
-        two = self.area_two_sided[jnp.clip(light_idx, 0, self.n_area - 1)]
+        two = gather_rows(
+            self.area_two_sided, jnp.clip(light_idx, 0, self.n_area - 1)
+        )
         vis = front | two
         L = self.area_radiance(light_idx, lam)
         return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
@@ -229,7 +235,7 @@ class LightBuffers:
 
         if na > 0:
             ai = jnp.clip(idx, 0, na - 1)
-            verts = self.area_verts[ai]  # (N,3,3)
+            verts = gather_rows(self.area_verts, ai)  # (N,3,3)
             b = sample_uniform_triangle(u_pos)  # (N,3)
             p_l = jnp.einsum("nk,nkj->nj", b, verts)
             e1 = verts[:, 1] - verts[:, 0]
@@ -240,14 +246,14 @@ class LightBuffers:
             d = jnp.sqrt(d2)
             wi_a = to_l / d[..., None]
             cos_l = dot(n_l, -wi_a)
-            two = self.area_two_sided[ai]
+            two = gather_rows(self.area_two_sided, ai)
             emit_ok = (cos_l > _EPS) | (two & (jnp.abs(cos_l) > _EPS))
-            area = jnp.maximum(self.area_area[ai], _EPS)
+            area = jnp.maximum(gather_rows(self.area_area, ai), _EPS)
             pdf_a = d2 / (jnp.abs(cos_l) * area + _EPS)
             L_a = eval_emission(
-                self.area_coeffs[ai],
-                self.area_scale[ai],
-                self.area_illum[ai],
+                gather_rows(self.area_coeffs, ai),
+                gather_rows(self.area_scale, ai),
+                gather_rows(self.area_illum, ai),
                 lam,
             )
             L_a = jnp.where(emit_ok[..., None], L_a, 0.0)
@@ -259,16 +265,16 @@ class LightBuffers:
 
         if npt > 0:
             pi = jnp.clip(idx - na, 0, npt - 1)
-            p_l = self.point_p[pi]
+            p_l = gather_rows(self.point_p, pi)
             to_l = p_l - p_ref
             d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
             d = jnp.sqrt(d2)
             wi_p = to_l / d[..., None]
             # I / d^2 folded into L; pdf = 1 (delta light).
             I = eval_emission(
-                self.point_coeffs[pi],
-                self.point_scale[pi],
-                self.point_illum[pi],
+                gather_rows(self.point_coeffs, pi),
+                gather_rows(self.point_scale, pi),
+                gather_rows(self.point_illum, pi),
                 lam,
             )
             L_p = I / d2[..., None]
@@ -281,11 +287,11 @@ class LightBuffers:
 
         if nd > 0:
             di = jnp.clip(idx - na - npt, 0, nd - 1)
-            wi_d = -self.distant_dir[di]
+            wi_d = -gather_rows(self.distant_dir, di)
             L_d = eval_emission(
-                self.distant_coeffs[di],
-                self.distant_scale[di],
-                self.distant_illum[di],
+                gather_rows(self.distant_coeffs, di),
+                gather_rows(self.distant_scale, di),
+                gather_rows(self.distant_illum, di),
                 lam,
             )
             use = (idx >= na + npt) & (idx < na + npt + nd)
@@ -311,7 +317,10 @@ class LightBuffers:
         if self.n_area == 0:
             return jnp.zeros_like(dist)
         area = jnp.maximum(
-            self.area_area[jnp.clip(light_idx, 0, self.n_area - 1)], _EPS
+            gather_rows(
+                self.area_area, jnp.clip(light_idx, 0, self.n_area - 1)
+            ),
+            _EPS,
         )
         pdf = dist * dist / (jnp.abs(cos_l) * area + _EPS)
         return jnp.where(light_idx >= 0, pdf / self.n_lights, 0.0)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import rgb2spec
+from ..core.gather import gather_rows
 from ..core.pytree import pytree, static_field
 
 MAT_DIFFUSE = 0
@@ -81,16 +82,16 @@ class MaterialBuffers:
         )
 
     def gather(self, mat_idx):
-        """Per-ray material parameters (one gather per field)."""
+        """Per-ray material parameters (TPU-friendly table select)."""
         return {
-            "kind": self.kind[mat_idx],
-            "albedo_coeffs": self.albedo_coeffs[mat_idx],
-            "roughness": self.roughness[mat_idx],
-            "eta": self.eta[mat_idx],
-            "cond_eta_coeffs": self.cond_eta_coeffs[mat_idx],
-            "cond_eta_scale": self.cond_eta_scale[mat_idx],
-            "cond_k_coeffs": self.cond_k_coeffs[mat_idx],
-            "cond_k_scale": self.cond_k_scale[mat_idx],
+            "kind": gather_rows(self.kind, mat_idx),
+            "albedo_coeffs": gather_rows(self.albedo_coeffs, mat_idx),
+            "roughness": gather_rows(self.roughness, mat_idx),
+            "eta": gather_rows(self.eta, mat_idx),
+            "cond_eta_coeffs": gather_rows(self.cond_eta_coeffs, mat_idx),
+            "cond_eta_scale": gather_rows(self.cond_eta_scale, mat_idx),
+            "cond_k_coeffs": gather_rows(self.cond_k_coeffs, mat_idx),
+            "cond_k_scale": gather_rows(self.cond_k_scale, mat_idx),
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,

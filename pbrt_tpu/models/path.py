@@ -22,7 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..accel.dense import intersect_any, intersect_closest, offset_ray_origin
+from ..accel import api as accel_api
+from ..accel.dense import offset_ray_origin
 from ..core import rng
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
@@ -81,7 +82,7 @@ class PathIntegrator:
             lam = wl.lam
             n_rays = carry["rays"] + jnp.sum(active.astype(jnp.float32))
 
-            isect = intersect_closest(scene.geom, o, d)
+            isect = accel_api.closest(scene, o, d)
             hit = active & isect.valid
 
             # --- Emitted radiance at hits of area lights (with MIS weight
@@ -156,8 +157,8 @@ class PathIntegrator:
                 smax = jnp.where(
                     jnp.isfinite(ls.dist), ls.dist * (1.0 - 1e-3), 1e30
                 )
-                occluded = intersect_any(
-                    scene.geom,
+                occluded = accel_api.any_hit(
+                    scene,
                     jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
                     ls.wi,
                     jnp.where(need_shadow, smax, 0.0),

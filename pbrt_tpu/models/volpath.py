@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..accel.dense import intersect_any, intersect_closest, offset_ray_origin
+from ..accel import api as accel_api
+from ..accel.dense import offset_ray_origin
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
 from ..core.vecmath import coordinate_system, dot, from_local, to_local
@@ -46,7 +47,7 @@ class VolPathIntegrator:
     def _transmittance(self, scene, o, wi, dist, lam, pixel, sample_idx,
                        sampler, dim_base):
         smax = jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), _BIG)
-        occ = intersect_any(scene.geom, o, wi, smax)
+        occ = accel_api.any_hit(scene, o, wi, smax)
         med = scene.medium
         tr = jnp.ones(lam.shape, lam.dtype)
         if med is None or med.is_none:
@@ -121,7 +122,7 @@ class VolPathIntegrator:
             dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
             n_rays = carry["rays"] + jnp.sum(active.astype(jnp.float32))
 
-            isect = intersect_closest(scene.geom, o, d)
+            isect = accel_api.closest(scene, o, d)
             t_surf = jnp.where(isect.valid, isect.t, _BIG)
 
             # ---- Medium interaction sampling (delta tracking). status:

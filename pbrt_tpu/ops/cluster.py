@@ -1,0 +1,277 @@
+"""Pallas two-level ray-scene intersection: cluster culling + dense leaves.
+
+The TPU-native answer to BVH traversal (SURVEY.md section 7 hard-part #1),
+replacing pointer chasing with two vector-friendly phases:
+
+  1. CULL: triangles are Morton-sorted and grouped into clusters of 128.
+     Cluster AABBs live with the *cluster axis on the 128-lane dimension*, so
+     one (8, 128) slab test evaluates 8 rays against 128 clusters; an
+     or-reduce over the tile's sub-groups yields a per-(tile, cluster) hit
+     mask with a handful of vector ops.
+  2. TEST: a fori_loop walks clusters; a lax.cond on the scalar any-reduce
+     skips missed ones (real branching, not masking). A hit cluster
+     is tested densely: (8 rays x 128 triangles) Moller-Trumbore per
+     sub-group, triangle components loaded as contiguous (1, 128) rows.
+     Closest-hit selection avoids per-lane gathers with a min-reduce plus an
+     equality-masked max-reduce over bitcast primitive ids.
+
+No gathers, no per-ray stacks; worst case degrades to the dense tester,
+best case skips all non-overlapping clusters. Ray tiles are 1024 rays
+(sublane-major (8, 128) layout).
+
+Reference analogue: the role of BVHAggregate/OptiX GAS traversal
+(/root/reference/src/pbrt/cpu/aggregates.cpp:529, gpu/aggregate.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.pytree import pytree, static_field
+
+_CLUSTER = 128  # triangles per cluster (lane width)
+_TILE = 1024  # rays per kernel tile
+_SUB = _TILE // 8  # ray sub-groups of 8 (sublane width)
+_BIG = 3e38
+
+
+@pytree
+class ClusterAccel:
+    # Triangle components, cluster-major: (C, 128) each.
+    v0x: jnp.ndarray
+    v0y: jnp.ndarray
+    v0z: jnp.ndarray
+    e1x: jnp.ndarray
+    e1y: jnp.ndarray
+    e1z: jnp.ndarray
+    e2x: jnp.ndarray
+    e2y: jnp.ndarray
+    e2z: jnp.ndarray
+    pid: jnp.ndarray  # (C, 128) float32 prim id + 1 (0.0 = pad slot)
+    # Cluster AABB rows: (C, 8) = [lox loy loz hix hiy hiz 0 0].
+    boxes: jnp.ndarray
+    n_clusters: int = static_field(default=0)
+
+
+def build_clusters(tri_verts: np.ndarray) -> ClusterAccel:
+    """Morton-sort triangles; pack 128-triangle clusters + AABBs."""
+    from ..accel.bvh import _morton3
+
+    tri_verts = np.asarray(tri_verts, np.float32)
+    t = tri_verts.shape[0]
+    cent = tri_verts.mean(axis=1)
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    norm = (cent - lo) / np.maximum(hi - lo, 1e-12)
+    order = np.argsort(_morton3(norm), kind="stable")
+    v = tri_verts[order]
+
+    c = -(-t // _CLUSTER)
+    p = c * _CLUSTER
+    vp = np.full((p, 3, 3), 1e30, np.float32)
+    vp[:t] = v
+    pid = np.full((p,), -1, np.int64)
+    pid[:t] = order
+    vp = vp.reshape(c, _CLUSTER, 3, 3)
+    real = (pid.reshape(c, _CLUSTER) >= 0)[..., None, None]
+    cl_lo = np.where(real, vp, np.inf).min(axis=(1, 2)).astype(np.float32)
+    cl_hi = np.where(real, vp, -np.inf).max(axis=(1, 2)).astype(np.float32)
+
+    boxes = np.concatenate(
+        [cl_lo, cl_hi, np.zeros((c, 2), np.float32)], axis=1
+    )
+
+    e1 = vp[:, :, 1] - vp[:, :, 0]
+    e2 = vp[:, :, 2] - vp[:, :, 0]
+    # Float id encoding: id+1 (exact for < 2^24 triangles); 0.0 = pad.
+    # (A bitcast encoding would hit denormal flush-to-zero on TPU.)
+    pid_f = (pid + 1).astype(np.float32).reshape(c, _CLUSTER)
+    return ClusterAccel(
+        v0x=jnp.asarray(vp[:, :, 0, 0]),
+        v0y=jnp.asarray(vp[:, :, 0, 1]),
+        v0z=jnp.asarray(vp[:, :, 0, 2]),
+        e1x=jnp.asarray(e1[..., 0]),
+        e1y=jnp.asarray(e1[..., 1]),
+        e1z=jnp.asarray(e1[..., 2]),
+        e2x=jnp.asarray(e2[..., 0]),
+        e2y=jnp.asarray(e2[..., 1]),
+        e2z=jnp.asarray(e2[..., 2]),
+        pid=jnp.asarray(pid_f.copy()),
+        boxes=jnp.asarray(boxes),
+        n_clusters=c,
+    )
+
+
+def _cluster_kernel(
+    boxes_ref,  # (C, 8) cluster AABB rows
+    v0x_ref, v0y_ref, v0z_ref,
+    e1x_ref, e1y_ref, e1z_ref,
+    e2x_ref, e2y_ref, e2z_ref, pid_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    t_out, prim_out,
+    *,
+    n_clusters: int,
+    any_hit: bool,
+):
+    eps = 1e-12
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # (8, 128)
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+    tmax = tmax_ref[:]
+
+    # ---- Per-cluster: vectorized AABB gate, then dense triangle test.
+    def cluster_body(c, carry):
+        t_best, prim = carry
+        lox = boxes_ref[c, 0]
+        loy = boxes_ref[c, 1]
+        loz = boxes_ref[c, 2]
+        hix = boxes_ref[c, 3]
+        hiy = boxes_ref[c, 4]
+        hiz = boxes_ref[c, 5]
+        tx0 = (lox - ox) * inv_dx
+        tx1 = (hix - ox) * inv_dx
+        ty0 = (loy - oy) * inv_dy
+        ty1 = (hiy - oy) * inv_dy
+        tz0 = (loz - oz) * inv_dz
+        tz1 = (hiz - oz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+        )
+        tmx = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        m = jnp.any((tmx >= tmin) & (tmin < t_best))
+
+        def test(args):
+            t_best, prim = args
+            v0x = v0x_ref[pl.ds(c, 1), :]  # (1, 128)
+            v0y = v0y_ref[pl.ds(c, 1), :]
+            v0z = v0z_ref[pl.ds(c, 1), :]
+            e1x = e1x_ref[pl.ds(c, 1), :]
+            e1y = e1y_ref[pl.ds(c, 1), :]
+            e1z = e1z_ref[pl.ds(c, 1), :]
+            e2x = e2x_ref[pl.ds(c, 1), :]
+            e2y = e2y_ref[pl.ds(c, 1), :]
+            e2z = e2z_ref[pl.ds(c, 1), :]
+            pid = pid_ref[pl.ds(c, 1), :]
+            t_cols = []
+            p_cols = []
+            for rg in range(_SUB):
+                oxg = ox[:, rg : rg + 1]
+                oyg = oy[:, rg : rg + 1]
+                ozg = oz[:, rg : rg + 1]
+                dxg = dx[:, rg : rg + 1]
+                dyg = dy[:, rg : rg + 1]
+                dzg = dz[:, rg : rg + 1]
+                px = dyg * e2z - dzg * e2y
+                py = dzg * e2x - dxg * e2z
+                pz = dxg * e2y - dyg * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+                tvx = oxg - v0x
+                tvy = oyg - v0y
+                tvz = ozg - v0z
+                uk = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vk = (dxg * qx + dyg * qy + dzg * qz) * inv_det
+                tk = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                tb = t_best[:, rg : rg + 1]
+                hit = (
+                    (jnp.abs(det) > eps)
+                    & (uk >= 0.0)
+                    & (vk >= 0.0)
+                    & (uk + vk <= 1.0)
+                    & (tk > 0.0)
+                    & (tk < tb)
+                )
+                tkh = jnp.where(hit, tk, _BIG)
+                tmin_new = jnp.min(tkh, axis=1, keepdims=True)  # (8,1)
+                better = tmin_new < tb
+                eq = hit & (tkh == tmin_new)
+                pid_sel = jnp.max(
+                    jnp.where(eq, pid, 0.0), axis=1, keepdims=True
+                )
+                t_cols.append(jnp.where(better, tmin_new, tb))
+                p_cols.append(
+                    jnp.where(better, pid_sel, prim[:, rg : rg + 1])
+                )
+            return (
+                jnp.concatenate(t_cols, axis=1),
+                jnp.concatenate(p_cols, axis=1),
+            )
+
+        return jax.lax.cond(m, test, lambda a: a, (t_best, prim))
+
+    t_best = tmax
+    prim = jnp.zeros_like(tmax)
+    t_best, prim = jax.lax.fori_loop(
+        0, n_clusters, cluster_body, (t_best, prim)
+    )
+    t_out[:] = t_best
+    prim_out[:] = prim
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
+                      interpret: bool = False):
+    """Returns (t, prim_id) per ray; prim_id == -1 on miss (t == tmax then)."""
+    n = o.shape[0]
+    pad = (-n) % _TILE
+    npad = n + pad
+
+    def comp(x, fill=0.0):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        # ray j -> (j % 8, j // 8) sublane-major layout
+        return x.reshape(npad // 8, 8).T.reshape(8, npad // 8)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    dx, dy, dz = comp(d[:, 0], 1.0), comp(d[:, 1], 1.0), comp(d[:, 2], 1.0)
+    tm = comp(tmax, -1.0)
+
+    grid = npad // _TILE
+    ray_spec = pl.BlockSpec(
+        (8, _SUB), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _cluster_kernel, n_clusters=accel.n_clusters, any_hit=any_hit
+    )
+    t, prim_f = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[full] * 11 + [ray_spec] * 7,
+        out_specs=[ray_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, npad // 8), jnp.float32) for _ in range(2)
+        ],
+        interpret=interpret,
+    )(
+        accel.boxes,
+        accel.v0x, accel.v0y, accel.v0z,
+        accel.e1x, accel.e1y, accel.e1z,
+        accel.e2x, accel.e2y, accel.e2z, accel.pid,
+        ox, oy, oz, dx, dy, dz, tm,
+    )
+
+    def uncomp(x):
+        return x.reshape(8, npad // 8).T.reshape(npad)[:n]
+
+    t = uncomp(t)
+    prim_f = uncomp(prim_f)
+    miss = prim_f <= 0.0
+    prim = jnp.where(miss, -1, prim_f.astype(jnp.int32) - 1)
+    t = jnp.where(miss, jnp.inf, t)
+    return t, prim

@@ -25,3 +25,24 @@ class Scene:
     lights: LightBuffers
     # Scene-level participating medium (None == vacuum everywhere).
     medium: Optional[MediumBuffers] = None
+    # Optional triangle BVH (accel.bvh.BVH); None routes to the dense tester.
+    bvh: Optional[object] = None
+    # Optional Pallas cluster accelerator (ops.cluster.ClusterAccel) —
+    # preferred over `bvh` when present.
+    clusters: Optional[object] = None
+
+    def with_accel(self, threshold: int = 1024) -> "Scene":
+        """Attach the cluster accelerator when the triangle count warrants it.
+
+        Below `threshold` triangles the dense lane-aligned tester wins on
+        TPU; above it, Morton clusters + the Pallas cull/test kernel.
+        """
+        import numpy as np
+
+        from .ops.cluster import build_clusters
+
+        if self.geom.num_triangles <= threshold:
+            return self
+        return self.replace(
+            clusters=build_clusters(np.asarray(self.geom.tri_verts))
+        )

@@ -95,18 +95,18 @@ def test_majorant_bounds_sigma():
 
 def test_beer_lambert_homogeneous():
     """Emissive wall behind an absorbing slab: L = Le * exp(-sigma_t)."""
-    def run(sa, ss, max_depth):
+    def run(sa, ss, max_depth, spp=32):
         scene, camera = fog_box_scene(sigma_a=sa, sigma_s=ss, le_scale=5.0)
         integ = VolPathIntegrator(max_depth=max_depth, rr_start_depth=100,
                                   use_nee=False)
         nx, ny = camera.resolution
-        pixel = jnp.arange(nx * ny, dtype=jnp.int32)
-        vals = []
-        for s in range(32):
-            o, d, wl = camera_rays(camera, pixel, jnp.int32(s), jnp.int32(0))
-            L = integ.trace(scene, o, d, wl, pixel, jnp.int32(s), jnp.int32(0))
-            vals.append(np.asarray(L).mean())
-        return np.mean(vals)
+        npix = nx * ny
+        # One batched trace over all samples (keeps CPU test time sane).
+        pixel = jnp.tile(jnp.arange(npix, dtype=jnp.int32), (spp,))
+        sample = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), npix)
+        o, d, wl = camera_rays(camera, pixel, sample, jnp.int32(0))
+        L = integ.trace(scene, o, d, wl, pixel, sample, jnp.int32(0))
+        return float(jnp.mean(L))
 
     # Absorption only: exact Beer-Lambert (small fov -> path length ~ 1).
     got = run(1.0, 0.0, max_depth=3)
@@ -130,15 +130,15 @@ def test_scattering_conserves_energy_vs_absorption():
     scene_s, _ = fog_box_scene(sigma_a=0.0, sigma_s=1.0)
     integ = VolPathIntegrator(max_depth=6, rr_start_depth=100)
     nx, ny = camera.resolution
-    pixel = jnp.arange(nx * ny, dtype=jnp.int32)
+    npix = nx * ny
+    spp = 16
+    pixel = jnp.tile(jnp.arange(npix, dtype=jnp.int32), (spp,))
+    sample = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), npix)
 
     def run(scene):
-        acc = 0.0
-        for s in range(16):
-            o, d, wl = camera_rays(camera, pixel, jnp.int32(s), jnp.int32(1))
-            L = integ.trace(scene, o, d, wl, pixel, jnp.int32(s), jnp.int32(1))
-            acc += float(jnp.mean(L))
-        return acc / 16
+        o, d, wl = camera_rays(camera, pixel, sample, jnp.int32(1))
+        L = integ.trace(scene, o, d, wl, pixel, sample, jnp.int32(1))
+        return float(jnp.mean(L))
 
     l_abs = run(scene_a)
     l_scat = run(scene_s)
