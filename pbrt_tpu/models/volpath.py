@@ -41,6 +41,20 @@ class VolPathIntegrator:
     use_mis: bool = static_field(default=True)
     max_null_steps: int = static_field(default=64)
     max_tr_steps: int = static_field(default=64)
+    # Reverse-mode AD cannot differentiate while_loop; the differentiable
+    # variant runs the majorant walks as fixed-length scans (bodies are
+    # already fully masked, so the semantics are identical).
+    differentiable: bool = static_field(default=False)
+
+    def _loop(self, cond, body, init, max_steps):
+        if not self.differentiable:
+            return jax.lax.while_loop(cond, body, init)
+
+        def sbody(c, _):
+            return body(c), None
+
+        out, _ = jax.lax.scan(sbody, init, None, length=max_steps)
+        return out
 
     # -- transmittance (ratio tracking; integrators.cpp SampleLd Tr loop) ----
 
@@ -55,6 +69,12 @@ class VolPathIntegrator:
 
         t0, t1 = med.bounds_segment(o, wi, smax)
         sigma_maj = med.sigma_majorant(lam)  # (N,)
+        if self.differentiable:
+            # The majorant is a sampling control, not a physical quantity:
+            # detaching it routes all parameter dependence through the
+            # continuous weights instead of the (pathwise-invisible)
+            # collision count.
+            sigma_maj = jax.lax.stop_gradient(sigma_maj)
         sa_u, ss_u = med.sigma_base(lam)  # (N, S) unit-density
 
         def cond(state):
@@ -80,8 +100,8 @@ class VolPathIntegrator:
             return it + 1, jnp.where(step, t_new, t), tr, active
 
         active0 = (t1 > t0) & (sigma_maj > 0.0) & ~occ
-        _, _, tr, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t0, tr, active0)
+        _, _, tr, _ = self._loop(
+            cond, body, (jnp.int32(0), t0, tr, active0), self.max_tr_steps
         )
         return jnp.where(occ[..., None], 0.0, tr)
 
@@ -131,6 +151,8 @@ class VolPathIntegrator:
             if have_medium:
                 t0, t1 = med.bounds_segment(o, d, t_surf)
                 sigma_maj = med.sigma_majorant(lam)
+                if self.differentiable:
+                    sigma_maj = jax.lax.stop_gradient(sigma_maj)
                 sa_u, ss_u = med.sigma_base(lam)
 
                 def wcond(st):
@@ -153,18 +175,33 @@ class VolPathIntegrator:
                     ss = ss_u * dens[..., None]
                     pa = sa[..., 0] / jnp.maximum(sigma_maj, 1e-20)
                     ps = ss[..., 0] / jnp.maximum(sigma_maj, 1e-20)
+                    if self.differentiable:
+                        # Absorption folded continuously into the null weight
+                        # (ratio-tracking style): binary absorb events have a
+                        # zero pathwise derivative in sigma_a, this form is
+                        # smooth (the "differentiable ray-march" of
+                        # BASELINE.json). Discrete choice probabilities are
+                        # detached so only the weights carry gradients.
+                        pa = jnp.zeros_like(pa)
+                        ps = jax.lax.stop_gradient(ps)
                     absorb = u_e < pa
                     scatter = (u_e >= pa) & (u_e < pa + ps)
                     null = ~absorb & ~scatter
+                    # Double-where: denominators are only "real" in taken
+                    # lanes; masked lanes get 1.0 so reverse-mode AD never
+                    # sees the 1e-20 division (0 * inf = NaN cotangents).
                     pn = jnp.maximum(1.0 - pa - ps, 1e-20)
                     sigma_n = jnp.maximum(
                         sigma_maj[..., None] - sa - ss, 0.0
                     )
+                    pn_s = jnp.where(null, pn, 1.0)
+                    ps_s = jnp.where(scatter, jnp.maximum(ps, 1e-20), 1.0)
+                    pa_s = jnp.where(absorb, jnp.maximum(pa, 1e-20), 1.0)
                     w_null = sigma_n / (
-                        sigma_maj[..., None] * pn[..., None]
+                        sigma_maj[..., None] * pn_s[..., None]
                     )
-                    w_scat = ss / (sigma_maj[..., None] * ps[..., None])
-                    w_abs = sa / (sigma_maj[..., None] * jnp.maximum(pa, 1e-20)[..., None])
+                    w_scat = ss / (sigma_maj[..., None] * ps_s[..., None])
+                    w_abs = sa / (sigma_maj[..., None] * pa_s[..., None])
                     step = walking & ~escaped
                     beta_w = jnp.where(
                         (step & null)[..., None], beta_w * w_null, beta_w
@@ -182,7 +219,7 @@ class VolPathIntegrator:
                     return it + 1, t, beta_w, status, walking
 
                 walking0 = active & (t1 > t0) & (sigma_maj > 0.0)
-                _, t_event, beta, status, _ = jax.lax.while_loop(
+                _, t_event, beta, status, _ = self._loop(
                     wcond,
                     wbody,
                     (
@@ -192,6 +229,7 @@ class VolPathIntegrator:
                         jnp.zeros((n,), jnp.int32),
                         walking0,
                     ),
+                    self.max_null_steps,
                 )
                 scattered = active & (status == 1)
                 absorbed = active & (status == 2)
