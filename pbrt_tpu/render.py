@@ -24,11 +24,13 @@ from .models.path import PathIntegrator
 from .scene import Scene
 
 
-def camera_rays(camera: PerspectiveCamera, pixel, sample_idx, sampler,
-                jitter: bool = True):
-    """Generate primary rays + wavelengths for a flat batch of pixel ids.
+def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True):
+    """Generate primary rays + wavelengths + camera weight for pixel ids.
 
-    sampler: a samplers.Sampler or an int seed (-> independent).
+    Works with every camera family: pinhole-style cameras return (o, d) from
+    generate_rays; lens cameras (Realistic/Omni/HumanEye/RTF) additionally
+    return a per-ray weight (0 = vignetted). sampler: a samplers.Sampler or
+    an int seed (-> independent).
     """
     from .samplers.samplers import as_sampler
 
@@ -42,9 +44,20 @@ def camera_rays(camera: PerspectiveCamera, pixel, sample_idx, sampler,
     py = (pixel // nx).astype(jnp.float32) + jy
     p_film = jnp.stack([px, py], axis=-1)
     ul0, ul1 = sampler.get_2d(pixel, sample_idx, 2)
-    o, d = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1))
+    out = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1))
+    if len(out) == 3:
+        o, d, w = out
+    else:
+        o, d = out
+        w = jnp.ones_like(px)
     u_wl = sampler.get_1d(pixel, sample_idx, 4)
     wl = spectrum.sample_visible(u_wl)
+    return o, d, wl, w
+
+
+def camera_rays(camera, pixel, sample_idx, sampler, jitter: bool = True):
+    """Back-compat 3-tuple variant (weight dropped)."""
+    o, d, wl, _ = camera_rays_full(camera, pixel, sample_idx, sampler, jitter)
     return o, d, wl
 
 
@@ -81,11 +94,13 @@ def render(
         sample_b = jnp.repeat(
             pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix
         )
-        o, d, wl = camera_rays(camera, pixel_b, sample_b, sampler, jitter)
+        o, d, wl, w = camera_rays_full(
+            camera, pixel_b, sample_b, sampler, jitter
+        )
         radiance = integrator.trace(
             scene, o, d, wl, pixel_b, sample_b, sampler
         )
-        rgb = spectrum_to_rgb(radiance, wl)  # (k*npix, 3)
+        rgb = spectrum_to_rgb(radiance, wl) * w[:, None]  # (k*npix, 3)
         rgb_img = jnp.mean(rgb.reshape(k, ny, nx, 3), axis=0)
         return film.add_sample_image(rgb_img)
 

@@ -1,0 +1,149 @@
+"""Camera model tests: lens-stack optics, Navarro eye, RTF fitting.
+
+Validation is physical: collimation at focal distance, Snell consistency,
+RTF polynomial agreement with the lens camera it was fitted to.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.cameras.humaneye import HumanEyeCamera
+from pbrt_tpu.cameras.lens import trace_through_stack
+from pbrt_tpu.cameras.realistic import RealisticCamera, biconvex_singlet
+from pbrt_tpu.cameras.rtf import fit_from_camera
+from pbrt_tpu.cameras.simple import OrthographicCamera, SphericalCamera
+from pbrt_tpu.core.transform import Transform
+
+
+def _rng_u2(n, seed=0):
+    r = np.random.default_rng(seed)
+    return jnp.asarray(r.uniform(0.05, 0.95, (n, 2)), jnp.float32)
+
+
+def test_singlet_collimates_from_focal_point():
+    """A film point at the focal distance emits a collimated beam."""
+    f = 50.0
+    lens = biconvex_singlet(focal_mm=f, aperture_mm=10.0, film_distance_mm=f)
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0]), (n, 3))
+    # Aim at random points on the rear aperture.
+    r = np.random.default_rng(1)
+    px = r.uniform(-4, 4, n)
+    py = r.uniform(-4, 4, n)
+    target = jnp.asarray(np.stack([px, py, np.full(n, f)], -1), jnp.float32)
+    d = (target - o) / jnp.linalg.norm(target - o, axis=-1, keepdims=True)
+    o2, d2, valid = trace_through_stack(lens, o, d)
+    v = np.asarray(valid)
+    assert v.mean() > 0.8
+    dirs = np.asarray(d2)[v]
+    # Collimated: all directions near +z with small angular spread (thick
+    # lens + spherical aberration allow a few degrees).
+    assert dirs[:, 2].min() > 0.99
+    spread = dirs[:, :2].std(axis=0)
+    assert (spread < 0.02).all(), spread
+
+
+def test_singlet_images_point_source():
+    """Thin-lens conjugates: film at distance s' images the plane at s with
+    1/s + 1/s' = 1/f: rays from an off-axis film point converge there."""
+    f = 50.0
+    sp = 75.0  # film distance
+    s = 1.0 / (1.0 / f - 1.0 / sp)  # = 150 mm object distance
+    lens = biconvex_singlet(focal_mm=f, aperture_mm=8.0, film_distance_mm=sp)
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([1.5, 0.0, 0.0]), (n, 3))
+    r = np.random.default_rng(2)
+    target = jnp.asarray(
+        np.stack([r.uniform(-3, 3, n), r.uniform(-3, 3, n), np.full(n, sp)], -1),
+        jnp.float32,
+    )
+    d = (target - o) / jnp.linalg.norm(target - o, axis=-1, keepdims=True)
+    o2, d2, valid = trace_through_stack(lens, o, d)
+    v = np.asarray(valid)
+    o2, d2 = np.asarray(o2)[v], np.asarray(d2)[v]
+    # Propagate to the conjugate plane z = sp + 2 + s (lens thickness 2).
+    z_img = sp + 2.0 + s
+    t = (z_img - o2[:, 2]) / d2[:, 2]
+    pts = o2 + t[:, None] * d2
+    # Magnification m = -s/s' = -2: image of x=+1.5 at x=-3.
+    assert abs(np.median(pts[:, 0]) - (-3.0)) < 0.25, np.median(pts[:, 0])
+    # Converged: small spot (aberrations allowed).
+    assert pts[:, 0].std() < 0.6 and pts[:, 1].std() < 0.6
+
+
+def test_realistic_camera_generates_weighted_rays():
+    cam = RealisticCamera(
+        camera_to_world=Transform.identity(),
+        lens=biconvex_singlet(50.0, 10.0),
+        resolution=(32, 32),
+        film_diag_mm=20.0,
+    )
+    n = 1024
+    r = np.random.default_rng(0)
+    p_film = jnp.asarray(
+        np.stack([r.uniform(0, 32, n), r.uniform(0, 32, n)], -1), jnp.float32
+    )
+    o, d, w = cam.generate_rays(p_film, _rng_u2(n))
+    w = np.asarray(w)
+    assert 0.3 < w.mean() <= 1.0  # some vignetting, mostly valid
+    dz = np.asarray(d)[w > 0.5][:, 2]
+    assert (dz > 0.5).all()  # rays leave toward the scene
+
+
+def test_navarro_eye_focuses_at_infinity():
+    cam = HumanEyeCamera.navarro(
+        Transform.identity(), resolution=(16, 16), pupil_diameter_mm=3.0
+    )
+    n = 1024
+    # Central retina point -> relaxed eye -> collimated output.
+    p_film = jnp.broadcast_to(jnp.asarray([8.0, 8.0]), (n, 2))
+    o, d, w = cam.generate_rays(p_film, _rng_u2(n, 3))
+    ok = np.asarray(w) > 0.5
+    assert ok.mean() > 0.5
+    dirs = np.asarray(d)[ok]
+    assert dirs[:, 2].min() > 0.98
+    assert (dirs[:, :2].std(axis=0) < 0.03).all()
+
+
+def test_rtf_fit_matches_lens_camera():
+    cam = RealisticCamera(
+        camera_to_world=Transform.identity(),
+        lens=biconvex_singlet(50.0, 10.0),
+        resolution=(64, 64),
+        film_diag_mm=16.0,
+    )
+    rtf = fit_from_camera(cam, degree=3, n_train=8192)
+    n = 1024
+    r = np.random.default_rng(9)
+    p_film = jnp.asarray(
+        np.stack([r.uniform(4, 60, n), r.uniform(4, 60, n)], -1), jnp.float32
+    )
+    u = _rng_u2(n, 4)
+    o1, d1, w1 = cam.generate_rays(p_film, u)
+    o2, d2, w2 = rtf.generate_rays(p_film, u)
+    both = (np.asarray(w1) > 0.5) & (np.asarray(w2) > 0.5)
+    assert both.mean() > 0.5
+    derr = np.linalg.norm(np.asarray(d1)[both] - np.asarray(d2)[both], axis=1)
+    assert np.median(derr) < 0.01, np.median(derr)
+
+
+def test_ortho_and_spherical():
+    ortho = OrthographicCamera(
+        camera_to_world=Transform.identity(), resolution=(8, 8)
+    )
+    p = jnp.asarray([[4.0, 4.0], [0.0, 0.0]])
+    o, d = ortho.generate_rays(p)
+    np.testing.assert_allclose(np.asarray(d), [[0, 0, 1], [0, 0, 1]], atol=1e-6)
+    assert abs(float(o[0, 0])) < 1e-6  # center pixel at origin
+    sph = SphericalCamera(
+        camera_to_world=Transform.identity(), resolution=(16, 16)
+    )
+    r = np.random.default_rng(5)
+    p = jnp.asarray(r.uniform(0, 16, (256, 2)), jnp.float32)
+    o, d = sph.generate_rays(p)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-4
+    )
+    # Directions cover all octants.
+    signs = set(map(tuple, np.sign(np.asarray(d)).astype(int)))
+    assert len(signs) >= 6
