@@ -71,7 +71,13 @@ class LightBuffers:
     infinite_coeffs: jnp.ndarray  # (3,)
     infinite_scale: jnp.ndarray  # ()
     infinite_illum: jnp.ndarray  # () bool
+    # Light-selection distribution (uniform or power-proportional).
+    select_cdf: jnp.ndarray  # (n_lights,) inclusive cdf
+    select_pmf: jnp.ndarray  # (n_lights,)
+    # Image-based environment light (replaces the uniform infinite light).
+    env: object = None  # Optional[EnvironmentMap]
     has_infinite: bool = static_field(default=False)
+    sampler: str = static_field(default="uniform")
 
     @property
     def n_area(self) -> int:
@@ -86,9 +92,13 @@ class LightBuffers:
         return self.distant_dir.shape[0]
 
     @property
+    def has_env(self) -> bool:
+        return self.env is not None
+
+    @property
     def n_lights(self) -> int:
         return self.n_area + self.n_point + self.n_distant + (
-            1 if self.has_infinite else 0
+            1 if (self.has_infinite or self.has_env) else 0
         )
 
     @staticmethod
@@ -97,6 +107,8 @@ class LightBuffers:
         points=None,  # dicts: p, rgb, scale, illuminant
         distants=None,  # dicts: dir (travel direction), rgb, scale, illuminant
         infinite=None,  # dict: rgb, scale, illuminant — or None
+        envmap=None,  # EnvironmentMap — replaces `infinite` when given
+        sampler: str = "uniform",  # "uniform" | "power" selection
     ) -> "LightBuffers":
         def _fit(rgbs):
             if not len(rgbs):
@@ -148,7 +160,42 @@ class LightBuffers:
             isc = jnp.zeros((), jnp.float32)
             iil = jnp.asarray(False)
 
+        # --- Selection distribution (PowerLightSampler semantics,
+        # lightsamplers.h:29 — luminance-proportional; uniform fallback).
+        powers = []
+        area_list = areas if len(av) else np.zeros((0,))
+        for i, a in enumerate(area_tris):
+            lum = float(np.mean(a["rgb"])) * a.get("scale", 1.0)
+            two = 2.0 if a.get("two_sided", False) else 1.0
+            powers.append(lum * float(area_list[i]) * np.pi * two)
+        for p in points:
+            powers.append(float(np.mean(p["rgb"])) * p.get("scale", 1.0) * 4 * np.pi)
+        for dl in distants:
+            powers.append(float(np.mean(dl["rgb"])) * dl.get("scale", 1.0) * np.pi)
+        if envmap is not None:
+            powers.append(
+                float(jnp.mean(envmap.luminance) * envmap.strength) * 4 * np.pi
+            )
+        elif infinite is not None:
+            powers.append(
+                float(np.mean(infinite["rgb"])) * infinite.get("scale", 1.0)
+                * 4 * np.pi
+            )
+        powers = np.asarray(powers, np.float64)
+        nl = len(powers)
+        if nl == 0:
+            pmf = np.zeros((0,))
+        elif sampler == "power" and powers.sum() > 0:
+            pmf = powers / powers.sum()
+        else:
+            pmf = np.full(nl, 1.0 / nl)
+        cdf = np.cumsum(pmf)
+
         return LightBuffers(
+            select_cdf=jnp.asarray(cdf, jnp.float32),
+            select_pmf=jnp.asarray(pmf, jnp.float32),
+            env=envmap,
+            sampler=sampler,
             area_verts=jnp.asarray(av),
             area_coeffs=ac,
             area_scale=asc,
@@ -198,8 +245,10 @@ class LightBuffers:
         L = self.area_radiance(light_idx, lam)
         return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
 
-    def escaped_radiance(self, lam):
-        """Radiance for rays that leave the scene (uniform infinite light)."""
+    def escaped_radiance(self, d, lam):
+        """Radiance for rays escaping in direction d (infinite/env light)."""
+        if self.has_env:
+            return self.env.radiance(d, lam)
         if not self.has_infinite:
             return jnp.zeros_like(lam)
         return eval_emission(
@@ -208,6 +257,19 @@ class LightBuffers:
             self.infinite_illum[None],
             lam,
         )
+
+    def pdf_escaped(self, d):
+        """Solid-angle pdf that NEE sampling produced direction d toward the
+        infinite light, including its selection pmf (for MIS on escaped
+        rays). Zero when there is no infinite light."""
+        n_inf = self.n_area + self.n_point + self.n_distant
+        if self.has_env:
+            pmf = self.select_pmf[n_inf]
+            return self.env.pdf_dir(d) * pmf
+        if self.has_infinite:
+            pmf = self.select_pmf[n_inf]
+            return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi)) * pmf
+        return jnp.zeros(d.shape[:-1])
 
     # -- NEE sampling -------------------------------------------------------
 
@@ -222,8 +284,17 @@ class LightBuffers:
         assert n > 0, "sample_li with no lights"
         N = p_ref.shape[0]
         S = lam.shape[-1]
-        idx = jnp.minimum((u_select * n).astype(jnp.int32), n - 1)
-        sel_pmf = 1.0 / n
+        # Selection by tabulated cdf (uniform or power-proportional).
+        idx = jnp.minimum(
+            jnp.sum(
+                (self.select_cdf[None, :] <= u_select[..., None]).astype(
+                    jnp.int32
+                ),
+                axis=-1,
+            ),
+            n - 1,
+        )
+        sel_pmf = gather_rows(self.select_pmf, idx)
 
         L = jnp.zeros((N, S), p_ref.dtype)
         wi = jnp.zeros((N, 3), p_ref.dtype)
@@ -301,8 +372,27 @@ class LightBuffers:
             dist = jnp.where(use, jnp.inf, dist)
             is_delta = is_delta | use
 
-        # (A selected uniform infinite light keeps pdf 0: a constant-radiance
-        # environment is covered by BSDF sampling + escaped-ray accumulation.)
+        if self.has_env or self.has_infinite:
+            use = idx == (na + npt + nd)
+            if self.has_env:
+                wi_e, L_e, pdf_e = self.env.sample(u_pos, lam)
+            else:
+                from ..core.sampling import sample_uniform_sphere
+
+                wi_e = sample_uniform_sphere(u_pos)
+                L_e = eval_emission(
+                    self.infinite_coeffs[None, :],
+                    self.infinite_scale[None],
+                    self.infinite_illum[None],
+                    lam,
+                )
+                L_e = jnp.broadcast_to(L_e, (N, S))
+                pdf_e = jnp.full((N,), 1.0 / (4.0 * jnp.pi))
+            L = jnp.where(use[..., None], L_e, L)
+            wi = jnp.where(use[..., None], wi_e, wi)
+            pdf = jnp.where(use, pdf_e, pdf)
+            dist = jnp.where(use, jnp.inf, dist)
+
         return LightLiSample(
             L=L, wi=wi, pdf=pdf * sel_pmf, dist=dist, is_delta=is_delta
         )
@@ -316,11 +406,8 @@ class LightBuffers:
         """
         if self.n_area == 0:
             return jnp.zeros_like(dist)
-        area = jnp.maximum(
-            gather_rows(
-                self.area_area, jnp.clip(light_idx, 0, self.n_area - 1)
-            ),
-            _EPS,
-        )
+        i = jnp.clip(light_idx, 0, self.n_area - 1)
+        area = jnp.maximum(gather_rows(self.area_area, i), _EPS)
+        pmf = gather_rows(self.select_pmf[: max(self.n_area, 1)], i)
         pdf = dist * dist / (jnp.abs(cos_l) * area + _EPS)
-        return jnp.where(light_idx >= 0, pdf / self.n_lights, 0.0)
+        return jnp.where(light_idx >= 0, pdf * pmf, 0.0)

@@ -266,9 +266,21 @@ class VolPathIntegrator:
                     emit_mask[..., None], beta * w_l[..., None] * le, 0.0
                 )
                 escaped_rays = reach_surface & ~isect.valid
+                if self.use_mis and self.use_nee:
+                    w_esc = jnp.where(
+                        carry["specular"],
+                        1.0,
+                        power_heuristic(
+                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d)
+                        ),
+                    )
+                elif self.use_nee:
+                    w_esc = jnp.where(carry["specular"], 1.0, 0.0)
+                else:
+                    w_esc = jnp.ones_like(carry["prev_pdf"])
                 L = L + jnp.where(
                     escaped_rays[..., None],
-                    beta * scene.lights.escaped_radiance(lam),
+                    beta * w_esc[..., None] * scene.lights.escaped_radiance(d, lam),
                     0.0,
                 )
 
