@@ -1,0 +1,601 @@
+""".pbrt scene-description parser -> Scene + camera + render settings.
+
+Reference analogue: the Tokenizer/ParserTarget machinery
+(/root/reference/src/pbrt/parser.h:25-199) and BasicSceneBuilder's
+graphics-state machine (scene.cpp:57-230). This parser covers the directive
+subset needed to load real pbrt-v4 scenes of the benchmark shapes:
+
+  transforms: Identity LookAt Translate Rotate Scale Transform ConcatTransform
+  state:      AttributeBegin/End ObjectBegin/End ObjectInstance
+              ReverseOrientation WorldBegin Include Import
+  defs:       Integrator Sampler Film Filter Camera Accelerator Option
+  scene:      Material MakeNamedMaterial NamedMaterial Texture
+              Shape (trianglemesh | plymesh | sphere)
+              LightSource (point | distant | infinite)
+              AreaLightSource (diffuse)
+              MakeNamedMedium MediumInterface (scene-level single medium)
+
+Instancing is flattened at parse time (instances become transformed copies);
+the BVH/cluster accelerator handles the resulting triangle soup. Unknown
+directives/parameters warn and continue (the reference's unused-parameter
+reporting, paramdict.h:97).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+from ..cameras.perspective import PerspectiveCamera
+from ..core import transform as tfm
+from ..lights.buffers import LightBuffers
+from ..materials.buffers import (
+    MAT_CONDUCTOR,
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE,
+    MAT_THINDIELECTRIC,
+    MaterialBuffers,
+)
+from ..models.path import PathIntegrator
+from ..models.volpath import VolPathIntegrator
+from ..scene import Scene
+from ..shapes.geometry import GeometryBuffers
+
+
+def tokenize(text: str):
+    """pbrt tokens: strings, brackets, numbers/identifiers; # comments."""
+    toks = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t\r\n":
+            i += 1
+        elif c == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == '"':
+            j = text.index('"', i + 1)
+            toks.append(text[i : j + 1])
+            i = j + 1
+        elif c in "[]":
+            toks.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and text[j] not in ' \t\r\n"[]#':
+                j += 1
+            toks.append(text[i:j])
+            i = j
+    return toks
+
+
+class _TokenStream:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.pos += 1
+        return t
+
+    def done(self):
+        return self.pos >= len(self.toks)
+
+
+_DIRECTIVES = {
+    "Integrator", "Sampler", "Film", "Filter", "PixelFilter", "Camera",
+    "Accelerator", "Option", "LookAt", "Translate", "Rotate", "Scale",
+    "Transform", "ConcatTransform", "Identity", "WorldBegin", "WorldEnd",
+    "AttributeBegin", "AttributeEnd", "TransformBegin", "TransformEnd",
+    "ObjectBegin", "ObjectEnd", "ObjectInstance", "ReverseOrientation",
+    "Material", "MakeNamedMaterial", "NamedMaterial", "Texture", "Shape",
+    "LightSource", "AreaLightSource", "MakeNamedMedium", "MediumInterface",
+    "Include", "Import", "ColorSpace", "CoordinateSystem", "CoordSysTransform",
+    "ConcatTransform", "Attribute",
+}
+
+
+def _parse_params(ts: _TokenStream):
+    """Parse `"type name" [values...]` pairs until the next directive."""
+    params = {}
+    while True:
+        t = ts.peek()
+        if t is None or not t.startswith('"'):
+            break
+        decl = ts.next()[1:-1].split()
+        if len(decl) == 1:
+            ptype, pname = "string", decl[0]
+        else:
+            ptype, pname = decl[0], decl[1]
+        vals = []
+        if ts.peek() == "[":
+            ts.next()
+            while ts.peek() != "]":
+                vals.append(ts.next())
+            ts.next()
+        else:
+            vals.append(ts.next())
+
+        def conv(v):
+            if v.startswith('"'):
+                return v[1:-1]
+            if v in ("true", "false"):
+                return v == "true"
+            return float(v)
+
+        vals = [conv(v) for v in vals]
+        params[pname] = (ptype, vals)
+    return params
+
+
+def _get(params, name, default=None):
+    if name in params:
+        v = params[name][1]
+        return v[0] if len(v) == 1 else v
+    return default
+
+
+def _get_vec(params, name, default=None):
+    if name in params:
+        return np.asarray(params[name][1], np.float64)
+    return default
+
+
+class PbrtParser:
+    """Stateful scene builder (BasicSceneBuilder, scene.cpp:57-230)."""
+
+    def __init__(self, base_dir="."):
+        self.base_dir = base_dir
+        self.ctm = np.eye(4)
+        self.stack = []
+        self.named_ctm = {}
+        # graphics state
+        self.cur_material = 0
+        self.cur_area_light = None
+        self.reverse = False
+        # collected scene
+        self.materials = [{"kind": MAT_DIFFUSE, "albedo": (0.5, 0.5, 0.5)}]
+        self.named_materials = {}
+        self.tris = []
+        self.tri_mat = []
+        self.tri_light = []
+        self.spheres = []
+        self.sph_mat = []
+        self.area_lights = []
+        self.points = []
+        self.distants = []
+        self.infinite = None
+        self.textures = {}
+        # camera / settings
+        self.camera_type = "perspective"
+        self.camera_params = {}
+        self.world_to_camera = np.eye(4)
+        self.resolution = (256, 256)
+        self.integrator = "path"
+        self.integrator_params = {}
+        self.sampler_kind = "independent"
+        self.spp = 16
+        # objects (instancing)
+        self.objects = {}
+        self.cur_object = None
+        self.warnings = []
+
+    # -- transforms ----------------------------------------------------------
+
+    def _apply(self, m):
+        self.ctm = self.ctm @ m
+
+    def _pts(self, pts):
+        h = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+        return (h @ self.ctm.T)[:, :3]
+
+    # -- main loop -----------------------------------------------------------
+
+    def parse_file(self, path: str):
+        with open(path) as f:
+            text = f.read()
+        self.base_dir = os.path.dirname(os.path.abspath(path))
+        self.parse_string(text)
+        return self
+
+    def parse_string(self, text: str):
+        ts = _TokenStream(tokenize(text))
+        while not ts.done():
+            d = ts.next()
+            handler = getattr(self, "_d_" + d, None)
+            if handler is None:
+                if d in _DIRECTIVES:
+                    _parse_params(ts)  # consume and ignore
+                    self.warnings.append(f"ignored directive {d}")
+                else:
+                    self.warnings.append(f"unknown token {d}")
+                continue
+            handler(ts)
+        return self
+
+    # -- directive handlers --------------------------------------------------
+
+    def _d_Integrator(self, ts):
+        self.integrator = ts.next()[1:-1]
+        self.integrator_params = _parse_params(ts)
+
+    def _d_Sampler(self, ts):
+        kind = ts.next()[1:-1]
+        p = _parse_params(ts)
+        mapping = {
+            "independent": "independent", "random": "independent",
+            "stratified": "stratified", "sobol": "sobol",
+            "paddedsobol": "sobol", "zsobol": "sobol", "halton": "sobol",
+            "pmj02bn": "sobol",
+        }
+        self.sampler_kind = mapping.get(kind, "independent")
+        self.spp = int(_get(p, "pixelsamples", 16))
+
+    def _d_Film(self, ts):
+        ts.next()  # film type
+        p = _parse_params(ts)
+        self.resolution = (
+            int(_get(p, "xresolution", 256)),
+            int(_get(p, "yresolution", 256)),
+        )
+
+    def _d_Filter(self, ts):
+        ts.next()
+        _parse_params(ts)
+
+    _d_PixelFilter = _d_Filter
+
+    def _d_Accelerator(self, ts):
+        ts.next()
+        _parse_params(ts)
+
+    def _d_Option(self, ts):
+        _parse_params(ts)
+
+    def _d_ColorSpace(self, ts):
+        ts.next()
+
+    def _d_Camera(self, ts):
+        self.camera_type = ts.next()[1:-1]
+        self.camera_params = _parse_params(ts)
+        self.world_to_camera = self.ctm.copy()
+
+    def _d_Identity(self, ts):
+        self.ctm = np.eye(4)
+
+    def _d_LookAt(self, ts):
+        v = [float(ts.next()) for _ in range(9)]
+        eye, look, up = v[0:3], v[3:6], v[6:9]
+        c2w = np.asarray(tfm.look_at(eye, look, up).m, np.float64)
+        self._apply(np.linalg.inv(c2w))  # LookAt appends world-to-camera
+
+    def _d_Translate(self, ts):
+        v = [float(ts.next()) for _ in range(3)]
+        self._apply(np.asarray(tfm.translate(v).m, np.float64))
+
+    def _d_Rotate(self, ts):
+        a = float(ts.next())
+        axis = [float(ts.next()) for _ in range(3)]
+        self._apply(np.asarray(tfm.rotate(axis, a).m, np.float64))
+
+    def _d_Scale(self, ts):
+        v = [float(ts.next()) for _ in range(3)]
+        self._apply(np.asarray(tfm.scale(v).m, np.float64))
+
+    def _d_Transform(self, ts):
+        assert ts.next() == "["
+        v = [float(ts.next()) for _ in range(16)]
+        assert ts.next() == "]"
+        self.ctm = np.asarray(v, np.float64).reshape(4, 4).T  # column-major
+
+    def _d_ConcatTransform(self, ts):
+        assert ts.next() == "["
+        v = [float(ts.next()) for _ in range(16)]
+        assert ts.next() == "]"
+        self._apply(np.asarray(v, np.float64).reshape(4, 4).T)
+
+    def _d_CoordinateSystem(self, ts):
+        self.named_ctm[ts.next()[1:-1]] = self.ctm.copy()
+
+    def _d_CoordSysTransform(self, ts):
+        name = ts.next()[1:-1]
+        if name in self.named_ctm:
+            self.ctm = self.named_ctm[name].copy()
+        elif name == "camera":
+            self.ctm = np.linalg.inv(self.world_to_camera)
+
+    def _d_WorldBegin(self, ts):
+        self.ctm = np.eye(4)
+
+    def _d_WorldEnd(self, ts):
+        pass
+
+    def _d_AttributeBegin(self, ts):
+        self.stack.append(
+            (self.ctm.copy(), self.cur_material, self.cur_area_light,
+             self.reverse)
+        )
+
+    def _d_AttributeEnd(self, ts):
+        self.ctm, self.cur_material, self.cur_area_light, self.reverse = (
+            self.stack.pop()
+        )
+
+    _d_TransformBegin = _d_AttributeBegin
+    _d_TransformEnd = _d_AttributeEnd
+
+    def _d_ReverseOrientation(self, ts):
+        self.reverse = not self.reverse
+
+    def _d_Include(self, ts):
+        name = ts.next()[1:-1]
+        with open(os.path.join(self.base_dir, name)) as f:
+            self.parse_string(f.read())
+
+    _d_Import = _d_Include
+
+    # -- materials -----------------------------------------------------------
+
+    def _material_from_params(self, mtype, p):
+        spec = {"kind": MAT_DIFFUSE, "albedo": (0.5, 0.5, 0.5)}
+        refl = _get_vec(p, "reflectance")
+        if refl is None:
+            refl = _get_vec(p, "albedo")
+        if mtype in ("diffuse", "coateddiffuse", "diffusetransmission",
+                     "subsurface", "matte"):
+            spec["kind"] = MAT_DIFFUSE
+            if mtype != "diffuse":
+                self.warnings.append(
+                    f"material {mtype} approximated as diffuse"
+                )
+        elif mtype in ("conductor", "coatedconductor", "metal"):
+            spec["kind"] = MAT_CONDUCTOR
+            spec["roughness"] = float(_get(p, "roughness", 0.01) or 0.01)
+        elif mtype in ("dielectric", "glass"):
+            spec["kind"] = MAT_DIELECTRIC
+            spec["eta"] = float(_get(p, "eta", 1.5) or 1.5)
+            spec["roughness"] = float(_get(p, "roughness", 0.0) or 0.0)
+        elif mtype in ("thindielectric",):
+            spec["kind"] = MAT_THINDIELECTRIC
+            spec["eta"] = float(_get(p, "eta", 1.5) or 1.5)
+        else:
+            self.warnings.append(f"material {mtype} approximated as diffuse")
+        if refl is not None and len(np.atleast_1d(refl)) == 3:
+            spec["albedo"] = tuple(np.asarray(refl, float))
+        return spec
+
+    def _d_Material(self, ts):
+        mtype = ts.next()[1:-1]
+        p = _parse_params(ts)
+        self.materials.append(self._material_from_params(mtype, p))
+        self.cur_material = len(self.materials) - 1
+
+    def _d_MakeNamedMaterial(self, ts):
+        name = ts.next()[1:-1]
+        p = _parse_params(ts)
+        mtype = _get(p, "type", "diffuse")
+        self.materials.append(self._material_from_params(mtype, p))
+        self.named_materials[name] = len(self.materials) - 1
+
+    def _d_NamedMaterial(self, ts):
+        name = ts.next()[1:-1]
+        self.cur_material = self.named_materials.get(name, 0)
+
+    def _d_Texture(self, ts):
+        name = ts.next()[1:-1]
+        ts.next()  # data type
+        ts.next()  # class
+        self.textures[name] = _parse_params(ts)
+        self.warnings.append(f"texture {name} stored but not yet bound")
+
+    # -- lights --------------------------------------------------------------
+
+    def _d_AreaLightSource(self, ts):
+        ts.next()  # "diffuse"
+        p = _parse_params(ts)
+        L = _get_vec(p, "L")
+        scale = float(_get(p, "scale", 1.0) or 1.0)
+        rgb = tuple(L) if L is not None and len(L) == 3 else (1.0, 1.0, 1.0)
+        self.cur_area_light = {
+            "rgb": rgb,
+            "scale": scale,
+            "two_sided": bool(_get(p, "twosided", False)),
+        }
+
+    def _d_LightSource(self, ts):
+        ltype = ts.next()[1:-1]
+        p = _parse_params(ts)
+        scale = float(_get(p, "scale", 1.0) or 1.0)
+        if ltype == "point":
+            I = _get_vec(p, "I")
+            frm = _get_vec(p, "from", np.zeros(3))
+            pos = self._pts(frm[None])[0]
+            self.points.append(
+                {"p": tuple(pos), "rgb": tuple(I) if I is not None else (1, 1, 1),
+                 "scale": scale}
+            )
+        elif ltype == "distant":
+            L = _get_vec(p, "L")
+            frm = _get_vec(p, "from", np.zeros(3))
+            to = _get_vec(p, "to", np.asarray([0.0, 0.0, 1.0]))
+            dw = self._pts(to[None])[0] - self._pts(frm[None])[0]
+            self.distants.append(
+                {"dir": tuple(dw), "rgb": tuple(L) if L is not None else (1, 1, 1),
+                 "scale": scale}
+            )
+        elif ltype == "infinite":
+            L = _get_vec(p, "L")
+            self.infinite = {
+                "rgb": tuple(L) if L is not None else (1.0, 1.0, 1.0),
+                "scale": scale,
+            }
+            if _get(p, "filename"):
+                self.warnings.append(
+                    "infinite light image file ignored (load via "
+                    "EnvironmentMap.build and pass to LightBuffers)"
+                )
+        else:
+            self.warnings.append(f"light {ltype} unsupported; skipped")
+
+    def _d_MakeNamedMedium(self, ts):
+        ts.next()
+        _parse_params(ts)
+        self.warnings.append("named media not yet bound by the parser")
+
+    def _d_MediumInterface(self, ts):
+        ts.next()
+        if ts.peek() and ts.peek().startswith('"'):
+            ts.next()
+
+    # -- shapes --------------------------------------------------------------
+
+    def _emit_triangles(self, tris_world):
+        n = len(tris_world)
+        if n == 0:
+            return
+        light_id = -1
+        if self.cur_area_light is not None:
+            base = len(self.area_lights)
+            for i, t in enumerate(tris_world):
+                v = t.astype(np.float32)
+                if self.reverse:
+                    v = v[::-1].copy()
+                self.area_lights.append({"verts": v, **self.cur_area_light})
+                self.tris.append(v)
+                self.tri_mat.append(self.cur_material)
+                self.tri_light.append(base + i)
+            return
+        for t in tris_world:
+            v = t.astype(np.float32)
+            if self.reverse:
+                v = v[::-1].copy()
+            self.tris.append(v)
+            self.tri_mat.append(self.cur_material)
+            self.tri_light.append(-1)
+
+    def _d_Shape(self, ts):
+        stype = ts.next()[1:-1]
+        p = _parse_params(ts)
+        if stype == "trianglemesh":
+            pts = _get_vec(p, "P").reshape(-1, 3)
+            idx = np.asarray(p["indices"][1], np.int64).reshape(-1, 3)
+            world = self._pts(pts)
+            tris = world[idx]
+        elif stype == "plymesh":
+            from .ply import read_ply
+
+            fn = _get(p, "filename")
+            verts, faces = read_ply(os.path.join(self.base_dir, fn))
+            world = self._pts(verts)
+            tris = world[faces]
+        elif stype == "sphere":
+            r = float(_get(p, "radius", 1.0))
+            center = self._pts(np.zeros((1, 3)))[0]
+            # Uniform scale assumed for spheres (pbrt requires this too).
+            sc = np.linalg.norm(self.ctm[:3, 0])
+            self.spheres.append([*center, r * sc])
+            self.sph_mat.append(self.cur_material)
+            if self.cur_area_light is not None:
+                self.warnings.append("sphere area lights not yet supported")
+            return
+        elif stype in ("disk", "bilinearmesh", "curve", "cylinder"):
+            self.warnings.append(f"shape {stype} not yet supported; skipped")
+            return
+        else:
+            self.warnings.append(f"shape {stype} unknown; skipped")
+            return
+        if self.cur_object is not None:
+            self.objects[self.cur_object].append(
+                (tris, self.cur_material, self.cur_area_light)
+            )
+        else:
+            self._emit_triangles(tris)
+
+    def _d_ObjectBegin(self, ts):
+        name = ts.next()[1:-1]
+        self.cur_object = name
+        self.objects[name] = []
+        self._d_AttributeBegin(ts)
+        self._object_base_ctm = self.ctm.copy()
+
+    def _d_ObjectEnd(self, ts):
+        self._d_AttributeEnd(ts)
+        self.cur_object = None
+
+    def _d_ObjectInstance(self, ts):
+        name = ts.next()[1:-1]
+        for tris, mat, area in self.objects.get(name, []):
+            # Object tris were stored in the object-space CTM; re-transform
+            # into the instance CTM relative to the object base.
+            base_inv = np.linalg.inv(self._object_base_ctm)
+            local = tris.reshape(-1, 3) @ base_inv[:3, :3].T + base_inv[:3, 3]
+            h = np.concatenate([local, np.ones((len(local), 1))], axis=1)
+            world = (h @ self.ctm.T)[:, :3].reshape(-1, 3, 3)
+            saved_mat, saved_light = self.cur_material, self.cur_area_light
+            self.cur_material, self.cur_area_light = mat, area
+            self._emit_triangles(world)
+            self.cur_material, self.cur_area_light = saved_mat, saved_light
+
+    # -- finalize ------------------------------------------------------------
+
+    def build(self):
+        """Returns (scene, camera, settings dict)."""
+        geom = GeometryBuffers.build(
+            tri_verts=np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
+            tri_mat=np.asarray(self.tri_mat, np.int32),
+            tri_light=np.asarray(self.tri_light, np.int32),
+            spheres=np.asarray(self.spheres, np.float32).reshape(-1, 4)
+            if self.spheres else None,
+            sph_mat=np.asarray(self.sph_mat, np.int32)
+            if self.spheres else None,
+        )
+        materials = MaterialBuffers.build(self.materials)
+        lights = LightBuffers.build(
+            area_tris=self.area_lights,
+            points=self.points,
+            distants=self.distants,
+            infinite=self.infinite,
+        )
+        scene = Scene(geom=geom, materials=materials, lights=lights)
+        scene = scene.with_accel()
+
+        c2w_np = np.linalg.inv(self.world_to_camera)
+        c2w = tfm.Transform.from_matrix(c2w_np.astype(np.float32))
+        fov = float(_get(self.camera_params, "fov", 90.0))
+        camera = PerspectiveCamera(
+            camera_to_world=c2w, resolution=self.resolution, fov_deg=fov
+        )
+        if self.camera_type != "perspective":
+            self.warnings.append(
+                f"camera {self.camera_type} loaded as perspective; build the "
+                "specialty camera explicitly from pbrt_tpu.cameras"
+            )
+        integ_map = {
+            "path": PathIntegrator, "simplepath": PathIntegrator,
+            "volpath": VolPathIntegrator, "simplevolpath": VolPathIntegrator,
+        }
+        integ_cls = integ_map.get(self.integrator, PathIntegrator)
+        max_depth = int(_get(self.integrator_params, "maxdepth", 5))
+        integrator = integ_cls(max_depth=max_depth)
+        settings = {
+            "spp": self.spp,
+            "sampler": self.sampler_kind,
+            "integrator": integrator,
+            "warnings": self.warnings,
+        }
+        return scene, camera, settings
+
+
+def load_pbrt(path: str):
+    """Parse a .pbrt file. Returns (scene, camera, settings)."""
+    return PbrtParser().parse_file(path).build()
+
+
+def load_pbrt_string(text: str, base_dir: str = "."):
+    return PbrtParser(base_dir).parse_string(text).build()

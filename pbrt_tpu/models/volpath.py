@@ -320,6 +320,9 @@ class VolPathIntegrator:
                 u_ph = sampler.get_2d(pixel, sample_idx, dim0 + 5)
                 wi_med, pdf_ph = ph.hg_sample(-d, jnp.stack(u_ph, -1), med.g)
                 # f/pdf == 1 for a sampled phase function.
+            else:
+                wi_med = d
+                pdf_ph = jnp.ones(n, o.dtype)
 
             # ---- Surface shading (diffuse/conductor/dielectric path logic).
             ns = isect.n * jnp.sign(

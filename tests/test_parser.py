@@ -1,0 +1,159 @@
+"""Scene parser + PLY tests (ref model: parser_test.cpp tokenizer/directive
+round trips)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.io.parser import load_pbrt_string, tokenize
+from pbrt_tpu.io.ply import read_ply, write_ply
+
+
+CORNELL_PBRT = """
+# cornell-ish test scene
+Integrator "volpath" "integer maxdepth" [ 4 ]
+Sampler "sobol" "integer pixelsamples" [ 8 ]
+Film "rgb" "integer xresolution" [ 32 ] "integer yresolution" [ 24 ]
+LookAt 0.5 0.5 -1.4   0.5 0.5 0.5   0 1 0
+Camera "perspective" "float fov" [ 40 ]
+WorldBegin
+
+MakeNamedMaterial "red" "string type" "diffuse"
+    "rgb reflectance" [ 0.65 0.05 0.05 ]
+
+AttributeBegin
+  NamedMaterial "red"
+  Shape "trianglemesh"
+      "point3 P" [ 0 0 0   0 0 1   0 1 1   0 1 0 ]
+      "integer indices" [ 0 1 2   0 2 3 ]
+AttributeEnd
+
+Material "diffuse" "rgb reflectance" [ 0.73 0.73 0.73 ]
+Shape "trianglemesh"
+    "point3 P" [ 0 0 0   1 0 0   1 0 1   0 0 1 ]
+    "integer indices" [ 0 2 1   0 3 2 ]
+
+AttributeBegin
+  Material "dielectric" "float eta" [ 1.5 ]
+  Translate 0.7 0.2 0.3
+  Shape "sphere" "float radius" [ 0.18 ]
+AttributeEnd
+
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [ 1 0.9 0.7 ] "float scale" [ 15 ]
+  Shape "trianglemesh"
+      "point3 P" [ 0.35 0.99 0.35   0.65 0.99 0.35   0.65 0.99 0.65   0.35 0.99 0.65 ]
+      "integer indices" [ 0 1 2  0 2 3 ]
+AttributeEnd
+
+LightSource "point" "rgb I" [ 1 1 1 ] "float scale" [ 0.5 ]
+    "point3 from" [ 0.5 0.5 0.2 ]
+WorldEnd
+"""
+
+
+def test_tokenizer():
+    toks = tokenize('Shape "trianglemesh" "point3 P" [ 0 1 2 ] # comment\nX')
+    assert toks == [
+        "Shape", '"trianglemesh"', '"point3 P"', "[", "0", "1", "2", "]", "X"
+    ]
+
+
+def test_parse_cornell_string():
+    scene, camera, settings = load_pbrt_string(CORNELL_PBRT)
+    assert camera.resolution == (32, 24)
+    assert abs(camera.fov_deg - 40.0) < 1e-6
+    assert settings["spp"] == 8
+    assert settings["sampler"] == "sobol"
+    from pbrt_tpu.models.volpath import VolPathIntegrator
+
+    assert isinstance(settings["integrator"], VolPathIntegrator)
+    assert settings["integrator"].max_depth == 4
+    # Geometry: 2 red wall + 2 floor + 2 light triangles, 1 sphere.
+    assert scene.geom.num_triangles == 6
+    assert scene.geom.num_spheres == 1
+    assert scene.lights.n_area == 2
+    assert scene.lights.n_point == 1
+    # Red material bound to the wall triangles.
+    mats = np.asarray(scene.geom.tri_mat[:2])
+    # material index 1 is "red" (0 is the default).
+    assert (mats == 1).all()
+    # Sphere transformed by Translate.
+    sph = np.asarray(scene.geom.sph[0])
+    np.testing.assert_allclose(sph, [0.7, 0.2, 0.3, 0.18], atol=1e-6)
+    # Camera world position ~ (0.5, 0.5, -1.4).
+    o = np.asarray(
+        camera.camera_to_world.apply_point(jnp.zeros((1, 3)))
+    )[0]
+    np.testing.assert_allclose(o, [0.5, 0.5, -1.4], atol=1e-5)
+
+
+def test_parsed_scene_renders():
+    from pbrt_tpu.render import render
+
+    scene, camera, settings = load_pbrt_string(CORNELL_PBRT)
+    img = np.asarray(
+        render(scene, camera, settings["integrator"], spp=4,
+               samples_per_pass=2, sampler_kind=settings["sampler"])
+    )
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005
+
+
+def test_object_instancing():
+    text = """
+    WorldBegin
+    ObjectBegin "leaf"
+      Shape "trianglemesh" "point3 P" [ 0 0 0  1 0 0  0 1 0 ]
+          "integer indices" [ 0 1 2 ]
+    ObjectEnd
+    AttributeBegin
+      Translate 5 0 0
+      ObjectInstance "leaf"
+    AttributeEnd
+    AttributeBegin
+      Translate 0 7 0
+      ObjectInstance "leaf"
+    AttributeEnd
+    """
+    scene, _, _ = load_pbrt_string(text)
+    assert scene.geom.num_triangles == 2
+    v = np.asarray(scene.geom.tri_verts)
+    np.testing.assert_allclose(v[0][0], [5, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(v[1][0], [0, 7, 0], atol=1e-5)
+
+
+def test_ply_roundtrip(tmp_path):
+    r = np.random.default_rng(0)
+    verts = r.normal(size=(10, 3)).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 3, 4], [4, 5, 6]], np.int32)
+    p = str(tmp_path / "m.ply")
+    write_ply(p, verts, faces)
+    v2, f2 = read_ply(p)
+    np.testing.assert_array_equal(v2, verts)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_ply_ascii_and_quads(tmp_path):
+    ply = """ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+4 0 1 2 3
+"""
+    p = str(tmp_path / "q.ply")
+    with open(p, "w") as f:
+        f.write(ply)
+    v, faces = read_ply(p)
+    assert v.shape == (4, 3)
+    # Quad fanned into 2 triangles.
+    np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3]])
