@@ -43,6 +43,7 @@ class MaterialBuffers:
     cond_eta_scale: jnp.ndarray  # (M,)
     cond_k_coeffs: jnp.ndarray  # (M, 3) conductor k spectrum fit
     cond_k_scale: jnp.ndarray  # (M,)
+    albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
@@ -51,13 +52,14 @@ class MaterialBuffers:
     def build(materials) -> "MaterialBuffers":
         """materials: list of dicts with keys kind, albedo (rgb), roughness,
         eta, conductor ("Cu"/"Au"/"Ag"/"Al" or (eta_rgb, k_rgb) pair)."""
-        kinds, albedos, rough, eta = [], [], [], []
+        kinds, albedos, rough, eta, texids = [], [], [], [], []
         c_eta, c_k = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
             rough.append(m.get("roughness", 0.0))
             eta.append(m.get("eta", 1.5))
+            texids.append(m.get("albedo_texture", -1))
             cond = m.get("conductor", "Cu")
             if isinstance(cond, str):
                 cond = CONDUCTOR_PRESETS[cond]
@@ -76,6 +78,7 @@ class MaterialBuffers:
             cond_eta_scale=ces,
             cond_k_coeffs=ck,
             cond_k_scale=cks,
+            albedo_tex=jnp.asarray(texids, jnp.int32),
             any_conductor=any(k == MAT_CONDUCTOR for k in kinds),
             any_dielectric=any(k == MAT_DIELECTRIC for k in kinds),
             any_thin=any(k == MAT_THINDIELECTRIC for k in kinds),
@@ -92,6 +95,7 @@ class MaterialBuffers:
             "cond_eta_scale": gather_rows(self.cond_eta_scale, mat_idx),
             "cond_k_coeffs": gather_rows(self.cond_k_coeffs, mat_idx),
             "cond_k_scale": gather_rows(self.cond_k_scale, mat_idx),
+            "albedo_tex": gather_rows(self.albedo_tex, mat_idx),
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,

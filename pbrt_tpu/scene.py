@@ -25,6 +25,8 @@ class Scene:
     lights: LightBuffers
     # Scene-level participating medium (None == vacuum everywhere).
     medium: Optional[MediumBuffers] = None
+    # Optional texture tables (textures.TextureBuffers).
+    textures: Optional[object] = None
     # Optional triangle BVH (accel.bvh.BVH); None routes to the dense tester.
     bvh: Optional[object] = None
     # Optional Pallas cluster accelerator (ops.cluster.ClusterAccel) —
