@@ -169,6 +169,7 @@ class PbrtParser:
         self.sph_mat = []
         self.area_lights = []
         self.points = []
+        self.spots = []
         self.distants = []
         self.infinite = None
         self.textures = {}
@@ -420,6 +421,18 @@ class PbrtParser:
                 {"p": tuple(pos), "rgb": tuple(I) if I is not None else (1, 1, 1),
                  "scale": scale}
             )
+        elif ltype == "spot":
+            I = _get_vec(p, "I")
+            frm = _get_vec(p, "from", np.zeros(3))
+            to = _get_vec(p, "to", np.asarray([0.0, 0.0, 1.0]))
+            self.spots.append(
+                {"p": tuple(self._pts(frm[None])[0]),
+                 "to": tuple(self._pts(to[None])[0]),
+                 "rgb": tuple(I) if I is not None else (1, 1, 1),
+                 "scale": scale,
+                 "coneangle": float(_get(p, "coneangle", 30.0)),
+                 "conedelta": float(_get(p, "conedeltaangle", 5.0))}
+            )
         elif ltype == "distant":
             L = _get_vec(p, "L")
             frm = _get_vec(p, "from", np.zeros(3))
@@ -559,6 +572,7 @@ class PbrtParser:
         lights = LightBuffers.build(
             area_tris=self.area_lights,
             points=self.points,
+            spots=self.spots,
             distants=self.distants,
             infinite=self.infinite,
         )

@@ -62,6 +62,14 @@ class LightBuffers:
     point_coeffs: jnp.ndarray  # (Lp, 3)
     point_scale: jnp.ndarray  # (Lp,)
     point_illum: jnp.ndarray  # (Lp,) bool
+    # Spot lights (SpotLight, lights.h: cone falloff delta light).
+    spot_p: jnp.ndarray  # (Ls, 3)
+    spot_dir: jnp.ndarray  # (Ls, 3) unit cone axis
+    spot_cos_start: jnp.ndarray  # (Ls,) cos(falloffStart)
+    spot_cos_end: jnp.ndarray  # (Ls,) cos(totalWidth)
+    spot_coeffs: jnp.ndarray  # (Ls, 3)
+    spot_scale: jnp.ndarray  # (Ls,)
+    spot_illum: jnp.ndarray  # (Ls,) bool
     # Distant lights.
     distant_dir: jnp.ndarray  # (Ld, 3) direction the light travels (w_light)
     distant_coeffs: jnp.ndarray  # (Ld, 3)
@@ -88,6 +96,10 @@ class LightBuffers:
         return self.point_p.shape[0]
 
     @property
+    def n_spot(self) -> int:
+        return self.spot_p.shape[0]
+
+    @property
     def n_distant(self) -> int:
         return self.distant_dir.shape[0]
 
@@ -97,7 +109,7 @@ class LightBuffers:
 
     @property
     def n_lights(self) -> int:
-        return self.n_area + self.n_point + self.n_distant + (
+        return self.n_area + self.n_point + self.n_spot + self.n_distant + (
             1 if (self.has_infinite or self.has_env) else 0
         )
 
@@ -105,6 +117,7 @@ class LightBuffers:
     def build(
         area_tris=None,  # dicts: verts (3,3), rgb, scale, two_sided, illuminant
         points=None,  # dicts: p, rgb, scale, illuminant
+        spots=None,  # dicts: p, to, rgb, scale, coneangle, conedelta, illuminant
         distants=None,  # dicts: dir (travel direction), rgb, scale, illuminant
         infinite=None,  # dict: rgb, scale, illuminant — or None
         envmap=None,  # EnvironmentMap — replaces `infinite` when given
@@ -122,6 +135,7 @@ class LightBuffers:
 
         area_tris = area_tris or []
         points = points or []
+        spots = spots or []
         distants = distants or []
 
         av = np.asarray([a["verts"] for a in area_tris], np.float32).reshape(
@@ -141,6 +155,21 @@ class LightBuffers:
         pc, psc = _fit(
             [np.asarray(p["rgb"]) * p.get("scale", 1.0) for p in points]
         )
+
+        sp_p = np.asarray([s["p"] for s in spots], np.float32).reshape(-1, 3)
+        sp_to = np.asarray(
+            [s.get("to", (0, -1, 0)) for s in spots], np.float32
+        ).reshape(-1, 3)
+        sp_dir = sp_to - sp_p
+        if len(sp_dir):
+            sp_dir = sp_dir / np.linalg.norm(sp_dir, axis=-1, keepdims=True)
+        sp_cone = np.asarray(
+            [np.deg2rad(s.get("coneangle", 30.0)) for s in spots], np.float32
+        )
+        sp_delta = np.asarray(
+            [np.deg2rad(s.get("conedelta", 5.0)) for s in spots], np.float32
+        )
+        spc, spsc = _fit([np.asarray(s["rgb"]) * s.get("scale", 1.0) for s in spots])
 
         dd = np.asarray([d["dir"] for d in distants], np.float32).reshape(-1, 3)
         if len(dd):
@@ -170,6 +199,9 @@ class LightBuffers:
             powers.append(lum * float(area_list[i]) * np.pi * two)
         for p in points:
             powers.append(float(np.mean(p["rgb"])) * p.get("scale", 1.0) * 4 * np.pi)
+        for s in spots:
+            solid = 2 * np.pi * (1 - np.cos(np.deg2rad(s.get("coneangle", 30.0))))
+            powers.append(float(np.mean(s["rgb"])) * s.get("scale", 1.0) * solid)
         for dl in distants:
             powers.append(float(np.mean(dl["rgb"])) * dl.get("scale", 1.0) * np.pi)
         if envmap is not None:
@@ -206,6 +238,15 @@ class LightBuffers:
             point_coeffs=pc,
             point_scale=psc,
             point_illum=_flags(points, "illuminant", True),
+            spot_p=jnp.asarray(sp_p),
+            spot_dir=jnp.asarray(sp_dir.reshape(-1, 3), jnp.float32),
+            spot_cos_start=jnp.asarray(
+                np.cos(np.maximum(sp_cone - sp_delta, 0.0)), jnp.float32
+            ),
+            spot_cos_end=jnp.asarray(np.cos(sp_cone), jnp.float32),
+            spot_coeffs=spc,
+            spot_scale=spsc,
+            spot_illum=_flags(spots, "illuminant", True),
             distant_dir=jnp.asarray(dd, jnp.float32),
             distant_coeffs=dc,
             distant_scale=dsc,
@@ -262,7 +303,7 @@ class LightBuffers:
         """Solid-angle pdf that NEE sampling produced direction d toward the
         infinite light, including its selection pmf (for MIS on escaped
         rays). Zero when there is no infinite light."""
-        n_inf = self.n_area + self.n_point + self.n_distant
+        n_inf = self.n_area + self.n_point + self.n_spot + self.n_distant
         if self.has_env:
             pmf = self.select_pmf[n_inf]
             return self.env.pdf_dir(d) * pmf
@@ -302,7 +343,9 @@ class LightBuffers:
         dist = jnp.full((N,), jnp.inf, p_ref.dtype)
         is_delta = jnp.zeros((N,), bool)
 
-        na, npt, nd = self.n_area, self.n_point, self.n_distant
+        na, npt, nsp, nd = (
+            self.n_area, self.n_point, self.n_spot, self.n_distant
+        )
 
         if na > 0:
             ai = jnp.clip(idx, 0, na - 1)
@@ -356,8 +399,37 @@ class LightBuffers:
             dist = jnp.where(use, d, dist)
             is_delta = is_delta | use
 
+        if nsp > 0:
+            si = jnp.clip(idx - na - npt, 0, nsp - 1)
+            p_l = gather_rows(self.spot_p, si)
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            dd_ = jnp.sqrt(d2)
+            wi_s = to_l / dd_[..., None]
+            axis = gather_rows(self.spot_dir, si)
+            cos_t = jnp.sum(-wi_s * axis, axis=-1)
+            c0 = gather_rows(self.spot_cos_start, si)
+            c1 = gather_rows(self.spot_cos_end, si)
+            # Smoothstep falloff between totalWidth and falloffStart
+            # (SpotLight::I, lights.h).
+            t_ = jnp.clip((cos_t - c1) / jnp.maximum(c0 - c1, 1e-6), 0.0, 1.0)
+            falloff = t_ * t_ * (3.0 - 2.0 * t_)
+            I = eval_emission(
+                gather_rows(self.spot_coeffs, si),
+                gather_rows(self.spot_scale, si),
+                gather_rows(self.spot_illum, si),
+                lam,
+            )
+            L_s = I * (falloff / d2)[..., None]
+            use = (idx >= na + npt) & (idx < na + npt + nsp)
+            L = jnp.where(use[..., None], L_s, L)
+            wi = jnp.where(use[..., None], wi_s, wi)
+            pdf = jnp.where(use, 1.0, pdf)
+            dist = jnp.where(use, dd_, dist)
+            is_delta = is_delta | use
+
         if nd > 0:
-            di = jnp.clip(idx - na - npt, 0, nd - 1)
+            di = jnp.clip(idx - na - npt - nsp, 0, nd - 1)
             wi_d = -gather_rows(self.distant_dir, di)
             L_d = eval_emission(
                 gather_rows(self.distant_coeffs, di),
@@ -365,7 +437,7 @@ class LightBuffers:
                 gather_rows(self.distant_illum, di),
                 lam,
             )
-            use = (idx >= na + npt) & (idx < na + npt + nd)
+            use = (idx >= na + npt + nsp) & (idx < na + npt + nsp + nd)
             L = jnp.where(use[..., None], L_d, L)
             wi = jnp.where(use[..., None], wi_d, wi)
             pdf = jnp.where(use, 1.0, pdf)
@@ -373,7 +445,7 @@ class LightBuffers:
             is_delta = is_delta | use
 
         if self.has_env or self.has_infinite:
-            use = idx == (na + npt + nd)
+            use = idx == (na + npt + nsp + nd)
             if self.has_env:
                 wi_e, L_e, pdf_e = self.env.sample(u_pos, lam)
             else:

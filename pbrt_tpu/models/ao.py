@@ -1,0 +1,75 @@
+"""Ambient-occlusion and simple-path integrators.
+
+Reference analogue: AOIntegrator (/root/reference/src/pbrt/cpu/
+integrators.h:296) and SimplePathIntegrator (:183 — no MIS, optional
+NEE/BSDF-sampling toggles, used as a correctness oracle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import api as accel_api
+from ..accel.dense import offset_ray_origin
+from ..core.pytree import pytree, static_field
+from ..core.sampling import sample_cosine_hemisphere
+from ..core.vecmath import coordinate_system, dot, from_local
+from ..scene import Scene
+from .path import PathIntegrator
+
+
+def SimplePathIntegrator(max_depth: int = 5, sample_lights: bool = True,
+                         sample_bsdf: bool = True) -> PathIntegrator:
+    """pbrt's SimplePath = path tracing without MIS (integrators.h:183)."""
+    return PathIntegrator(
+        max_depth=max_depth,
+        use_nee=sample_lights,
+        use_mis=False,
+        rr_start_depth=10**6,
+    )
+
+
+@pytree
+class AOIntegrator:
+    """Cosine-weighted ambient occlusion (integrators.h:296)."""
+
+    max_distance: float = static_field(default=1e30)
+    illuminant_scale: float = static_field(default=1.0)
+
+    def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
+        return self.trace_with_stats(
+            scene, o, d, wl, pixel, sample_idx, sampler
+        )[0]
+
+    def trace_with_stats(self, scene: Scene, o, d, wl, pixel, sample_idx,
+                         sampler):
+        from ..samplers.samplers import as_sampler
+
+        sampler = as_sampler(sampler)
+        n = o.shape[0]
+        s = wl.lam.shape[-1]
+
+        isect = accel_api.closest(scene, o, d)
+        ns = isect.n * jnp.sign(
+            jnp.where(
+                dot(isect.n, isect.wo, keepdims=True) == 0.0,
+                1.0,
+                dot(isect.n, isect.wo, keepdims=True),
+            )
+        )
+        t1, t2 = coordinate_system(ns)
+        u = sampler.get_2d(pixel, sample_idx, 8)
+        wi_local = sample_cosine_hemisphere(jnp.stack(u, axis=-1))
+        wi = from_local(wi_local, t1, t2, ns)
+        so = offset_ray_origin(isect.p, isect.n, wi)
+        occluded = accel_api.any_hit(
+            scene, so, wi, jnp.full((n,), self.max_distance)
+        )
+        # Estimator: (cos/pi) / pdf(=cos/pi) * visibility = visibility.
+        vis = (~occluded & isect.valid).astype(jnp.float32)
+        L = jnp.broadcast_to(
+            (vis * self.illuminant_scale)[:, None], (n, s)
+        )
+        rays = jnp.asarray(2 * n, jnp.float32)
+        return L, {"rays": rays}

@@ -1,0 +1,224 @@
+"""imgtool: image swiss-army knife.
+
+Reference analogue: /root/reference/src/pbrt/cmd/imgtool.cpp (2,685 LoC).
+Subcommands implemented: convert, diff, average, assemble, falsecolor,
+makeequiarea, whitebalance, bloom. Usage:
+
+    python -m pbrt_tpu.tools.imgtool <command> [args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import sys
+
+import numpy as np
+
+from ..core import colorspace
+from ..io.image import read_exr, read_pfm, write_exr, write_pfm, write_png
+
+
+def _read(path: str) -> np.ndarray:
+    if path.endswith(".exr"):
+        img, chans, _ = read_exr(path)
+        if set("RGB") <= set(chans):
+            return np.stack(
+                [img[..., chans.index(c)] for c in "RGB"], axis=-1
+            )
+        return img
+    if path.endswith(".pfm"):
+        return read_pfm(path)
+    raise ValueError(f"unsupported input format: {path}")
+
+
+def _write(path: str, img: np.ndarray) -> None:
+    if path.endswith(".exr"):
+        write_exr(path, img)
+    elif path.endswith(".pfm"):
+        write_pfm(path, img)
+    elif path.endswith(".png"):
+        import jax.numpy as jnp
+
+        enc = np.asarray(colorspace.srgb_encode(jnp.asarray(np.clip(img, 0, 1))))
+        write_png(path, enc)
+    else:
+        raise ValueError(f"unsupported output format: {path}")
+
+
+def cmd_convert(args):
+    img = _read(args.input)
+    if args.exposure != 1.0:
+        img = img * args.exposure
+    if args.tonemap:
+        img = img / (1.0 + img)  # simple Reinhard
+    _write(args.output, img)
+
+
+def cmd_diff(args):
+    a = _read(args.image)
+    b = _read(args.reference)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    mse = float(np.mean((a - b) ** 2))
+    mrse = float(np.mean((a - b) ** 2 / (b * b + 1e-2)))
+    mae = float(np.mean(np.abs(a - b)))
+    out = {"mse": mse, "mrse": mrse, "mae": mae}
+    print(json.dumps(out))
+    if args.outfile:
+        _write(args.outfile, np.abs(a - b))
+    return 0 if (args.metric_limit is None or mse <= args.metric_limit) else 1
+
+
+def cmd_average(args):
+    imgs = [_read(p) for p in args.inputs]
+    _write(args.output, np.mean(np.stack(imgs), axis=0))
+
+
+def cmd_assemble(args):
+    """Merge crop-window tiles written as EXRs with tileX/tileY metadata."""
+    tiles = []
+    for p in args.inputs:
+        img, chans, meta = read_exr(p)
+        rgb = np.stack([img[..., chans.index(c)] for c in "RGB"], axis=-1)
+        tiles.append((int(meta.get("tileX", 0)), int(meta.get("tileY", 0)), rgb))
+    w = max(x + t.shape[1] for x, _, t in tiles)
+    h = max(y + t.shape[0] for _, y, t in tiles)
+    out = np.zeros((h, w, 3), np.float32)
+    for x, y, t in tiles:
+        out[y : y + t.shape[0], x : x + t.shape[1]] = t
+    _write(args.output, out)
+
+
+def cmd_falsecolor(args):
+    img = _read(args.input)
+    lum = img.mean(axis=-1) if img.ndim == 3 else img
+    lo, hi = (args.min, args.max) if args.max else (
+        float(lum.min()), float(np.percentile(lum, 99.5)) or 1.0
+    )
+    t = np.clip((lum - lo) / max(hi - lo, 1e-9), 0, 1)
+    # Viridis-ish 5-stop ramp.
+    stops = np.asarray(
+        [[0.27, 0.00, 0.33], [0.23, 0.32, 0.55], [0.13, 0.57, 0.55],
+         [0.37, 0.79, 0.38], [0.99, 0.91, 0.14]]
+    )
+    x = t * (len(stops) - 1)
+    i = np.clip(x.astype(int), 0, len(stops) - 2)
+    f = (x - i)[..., None]
+    out = stops[i] * (1 - f) + stops[i + 1] * f
+    _write(args.output, out.astype(np.float32))
+
+
+def cmd_makeequiarea(args):
+    from ..lights.envmap import EnvironmentMap
+
+    src = _read(args.input)
+    env = EnvironmentMap.from_latlong(src, out_res=args.resolution)
+    # Write the resampled octahedral image (round trip through the fit).
+    import jax.numpy as jnp
+    from ..core import rgb2spec
+
+    rgb_from_s, lam = rgb2spec._projection("srgb")
+    # Direct reconstruction of the stored luminance-weighted image:
+    img = np.asarray(
+        rgb2spec.eval_unbounded(env.coeffs, env.scale, jnp.asarray(lam))
+        @ np.asarray(rgb_from_s).T
+    )
+    _write(args.output, img.astype(np.float32))
+
+
+def cmd_whitebalance(args):
+    img = _read(args.input)
+    m = colorspace.white_balance_matrix(
+        (args.src_x, args.src_y), colorspace.SRGB.white_xy
+    )
+    xyz = np.asarray(colorspace.SRGB.xyz_from_rgb) @ img.reshape(-1, 3).T
+    xyz = m @ xyz
+    out = (np.asarray(colorspace.SRGB.rgb_from_xyz) @ xyz).T.reshape(img.shape)
+    _write(args.output, out.astype(np.float32))
+
+
+def cmd_bloom(args):
+    img = _read(args.input)
+    bright = np.where(img > args.threshold, img, 0.0)
+    k = args.width
+    x = np.arange(-3 * k, 3 * k + 1)
+    g = np.exp(-0.5 * (x / k) ** 2)
+    g /= g.sum()
+    blurred = bright
+    for axis in (0, 1):
+        blurred = np.apply_along_axis(
+            lambda r: np.convolve(r, g, mode="same"), axis, blurred
+        )
+    _write(args.output, (img + args.scale * blurred).astype(np.float32))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="imgtool")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--exposure", type=float, default=1.0)
+    c.add_argument("--tonemap", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+
+    c = sub.add_parser("diff")
+    c.add_argument("image")
+    c.add_argument("reference")
+    c.add_argument("--outfile")
+    c.add_argument("--metric-limit", type=float, default=None)
+    c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("average")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_average)
+
+    c = sub.add_parser("assemble")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=cmd_assemble)
+
+    c = sub.add_parser("falsecolor")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--min", type=float, default=0.0)
+    c.add_argument("--max", type=float, default=None)
+    c.set_defaults(fn=cmd_falsecolor)
+
+    c = sub.add_parser("makeequiarea")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--resolution", type=int, default=256)
+    c.set_defaults(fn=cmd_makeequiarea)
+
+    c = sub.add_parser("whitebalance")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--src-x", type=float, default=0.3127)
+    c.add_argument("--src-y", type=float, default=0.3290)
+    c.set_defaults(fn=cmd_whitebalance)
+
+    c = sub.add_parser("bloom")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--threshold", type=float, default=1.0)
+    c.add_argument("--width", type=int, default=8)
+    c.add_argument("--scale", type=float, default=0.3)
+    c.set_defaults(fn=cmd_bloom)
+
+    args = p.parse_args(argv)
+    # Expand globs for multi-input commands on platforms without shell glob.
+    if hasattr(args, "inputs"):
+        expanded = []
+        for pat in args.inputs:
+            expanded.extend(sorted(globmod.glob(pat)) or [pat])
+        args.inputs = expanded
+    rc = args.fn(args)
+    return rc or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

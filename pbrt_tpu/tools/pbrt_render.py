@@ -1,0 +1,98 @@
+"""Main renderer CLI (the `pbrt` executable equivalent).
+
+Reference analogue: /root/reference/src/pbrt/cmd/pbrt.cpp. Usage:
+
+    python -m pbrt_tpu.tools.pbrt_render scene.pbrt --outfile out.exr \
+        [--spp N] [--seed S] [--maxdepth D] [--display-server host:port]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pbrt_tpu")
+    p.add_argument("scene")
+    p.add_argument("--outfile", default="out.exr")
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--maxdepth", type=int, default=None)
+    p.add_argument("--samples-per-pass", type=int, default=4)
+    p.add_argument("--disable-pixel-jitter", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--stats", action="store_true")
+    p.add_argument("--display-server", default=None,
+                   help="tev host:port for live preview")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..io.image import write_exr
+    from ..io.parser import load_pbrt
+    from ..render import render
+
+    t0 = time.perf_counter()
+    scene, camera, settings = load_pbrt(args.scene)
+    if not args.quiet:
+        for w in settings["warnings"]:
+            print(f"warning: {w}", file=sys.stderr)
+        print(
+            f"parsed {args.scene}: {scene.geom.num_triangles} tris, "
+            f"{scene.geom.num_spheres} spheres, "
+            f"{scene.lights.n_lights} lights "
+            f"({time.perf_counter() - t0:.2f}s)",
+            file=sys.stderr,
+        )
+
+    integrator = settings["integrator"]
+    if args.maxdepth is not None:
+        integrator = integrator.replace(max_depth=args.maxdepth)
+    spp = args.spp or settings["spp"]
+    spp = max(args.samples_per_pass, spp - spp % args.samples_per_pass)
+
+    t0 = time.perf_counter()
+    img = render(
+        scene, camera, integrator,
+        spp=spp,
+        seed=args.seed,
+        samples_per_pass=args.samples_per_pass,
+        jitter=not args.disable_pixel_jitter,
+        sampler_kind=settings["sampler"],
+    )
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+
+    if args.display_server:
+        from ..utils.display import send_to_tev
+
+        host, _, port = args.display_server.partition(":")
+        send_to_tev(img, name=args.outfile, host=host, port=int(port or 14158))
+
+    meta = {
+        "samplesPerPixel": str(spp),
+        "renderTimeSeconds": f"{dt:.3f}",
+        "generator": "pbrt_tpu",
+    }
+    if args.outfile.endswith(".exr"):
+        write_exr(args.outfile, img, metadata=meta)
+    else:
+        from .imgtool import _write
+
+        _write(args.outfile, img)
+    if not args.quiet:
+        print(f"rendered {spp} spp in {dt:.2f}s -> {args.outfile}",
+              file=sys.stderr)
+    if args.stats:
+        print(json.dumps({"spp": spp, "seconds": dt,
+                          "mean": float(img.mean())}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

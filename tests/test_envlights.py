@@ -133,3 +133,34 @@ def test_power_sampler_reduces_variance():
     se = float(np.sqrt(v_u / 16384) * 4 + 0.02)
     assert abs(m_u - m_p) < se + 0.1 * max(m_u, m_p), (m_u, m_p, se)
     assert v_p < 0.25 * v_u, (v_p, v_u)
+
+
+def test_spot_light_cone():
+    """Spot falloff: full intensity inside falloffStart, zero outside cone."""
+    from pbrt_tpu.core import rng as rngmod
+
+    floor = make_quad((-10, 0, -10), (10, 0, -10), (10, 0, 10), (-10, 0, 10))
+    geom = GeometryBuffers.build(tri_verts=floor)
+    mats = MaterialBuffers.build([{"kind": MAT_DIFFUSE, "albedo": (1.0,) * 3}])
+    lights = LightBuffers.build(
+        spots=[{"p": (0, 4, 0), "to": (0, 0, 0), "rgb": (1, 1, 1),
+                "scale": 10.0, "coneangle": 20.0, "conedelta": 5.0,
+                "illuminant": False}]
+    )
+    scene = Scene(geom=geom, materials=mats, lights=lights)
+    n = 512
+    pixel = jnp.arange(n, dtype=jnp.int32)
+    wl = spectrum.sample_uniform_hero(jnp.full((n,), 0.3))
+    integ = PathIntegrator(max_depth=1, rr_start_depth=100)
+
+    def probe(x):
+        # Ray straight down onto the floor at (x, 0, 0).
+        o = jnp.broadcast_to(jnp.asarray([x, 2.0, 0.0]), (n, 3))
+        d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+        L = integ.trace(scene, o, d, wl, pixel, jnp.int32(0), jnp.int32(0))
+        return float(jnp.mean(L))
+
+    inside = probe(0.0)  # on the axis -> full intensity
+    outside = probe(3.0)  # tan(20 deg) * 4 = 1.46 -> x=3 is outside the cone
+    assert inside > 0.1, inside
+    assert outside < 1e-5, outside

@@ -1,0 +1,114 @@
+"""Tool tests: imgtool subcommands, the pbrt CLI, AO integrator, stats."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.io.image import read_exr, write_exr
+from pbrt_tpu.tools import imgtool
+
+
+def _img(seed=0, h=12, w=16):
+    return np.random.default_rng(seed).uniform(0, 2, (h, w, 3)).astype(np.float32)
+
+
+def test_imgtool_convert_and_diff(tmp_path):
+    a = _img(0)
+    pa = str(tmp_path / "a.exr")
+    pb = str(tmp_path / "b.exr")
+    write_exr(pa, a)
+    write_exr(pb, a + 0.1)
+    rc = imgtool.main(["convert", pa, str(tmp_path / "a.png"), "--tonemap"])
+    assert rc == 0 and os.path.exists(tmp_path / "a.png")
+    rc = imgtool.main(["diff", pa, pb])
+    assert rc == 0
+    rc = imgtool.main(["diff", pa, pb, "--metric-limit", "0.001"])
+    assert rc == 1  # mse = 0.01 > limit
+
+
+def test_imgtool_average_falsecolor(tmp_path):
+    p1, p2 = str(tmp_path / "1.exr"), str(tmp_path / "2.exr")
+    write_exr(p1, _img(1))
+    write_exr(p2, _img(2))
+    out = str(tmp_path / "avg.exr")
+    assert imgtool.main(["average", p1, p2, "--output", out]) == 0
+    img, chans, _ = read_exr(out)
+    assert img.shape[:2] == (12, 16)
+    fc = str(tmp_path / "fc.png")
+    assert imgtool.main(["falsecolor", out, fc]) == 0
+    assert os.path.getsize(fc) > 100
+
+
+def test_pbrt_cli(tmp_path):
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(
+        """
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "independent" "integer pixelsamples" [4]
+LookAt 0.5 0.5 -1.4  0.5 0.5 0.5  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [1 1 1] "float scale" [10]
+  Shape "trianglemesh" "point3 P" [0.3 0.99 0.3  0.7 0.99 0.3  0.7 0.99 0.7  0.3 0.99 0.7]
+      "integer indices" [0 1 2  0 2 3]
+AttributeEnd
+Material "diffuse" "rgb reflectance" [0.7 0.7 0.7]
+Shape "trianglemesh" "point3 P" [0 0 0  1 0 0  1 0 1  0 0 1]
+    "integer indices" [0 2 1  0 3 2]
+WorldEnd
+"""
+    )
+    out = str(tmp_path / "out.exr")
+    from pbrt_tpu.tools.pbrt_render import main
+
+    rc = main([str(scene), "--outfile", out, "--spp", "4",
+               "--samples-per-pass", "2", "--quiet"])
+    assert rc == 0
+    img, chans, meta = read_exr(out)
+    assert img.shape[:2] == (16, 16)
+    assert meta["samplesPerPixel"] == "4"
+    assert np.isfinite(img).all()
+
+
+def test_ao_integrator():
+    from pbrt_tpu.models.ao import AOIntegrator
+    from pbrt_tpu.render import render
+    from pbrt_tpu.scenes.cornell import cornell_box
+
+    scene, camera = cornell_box(resolution=(24, 24))
+    img = np.asarray(
+        render(scene, camera, AOIntegrator(), spp=8, samples_per_pass=4)
+    )
+    assert np.isfinite(img).all()
+    # Open-field floor areas are brighter than box corners/creases.
+    assert 0.1 < img.mean() < 1.0
+    lum = img.mean(-1)
+    assert lum.max() > lum.min() + 0.2
+
+
+def test_stats_and_progress(capsys):
+    from pbrt_tpu.utils.stats import STATS, ProgressReporter
+
+    STATS.clear()
+    STATS.add("rays traced", 100)
+    STATS.add("rays traced", 50)
+    STATS.observe("bounce depth", 3)
+    STATS.report()
+    err = capsys.readouterr().err
+    assert "rays traced" in err and "150" in err
+    pr = ProgressReporter(10, quiet=True)
+    for _ in range(10):
+        pr.update()
+    assert pr.done == 10
+
+
+def test_tev_client_unreachable_ok():
+    from pbrt_tpu.utils.display import send_to_tev
+
+    ok = send_to_tev(np.zeros((4, 4, 3), np.float32), port=59999)
+    assert ok is False  # no server: graceful False, no exception
