@@ -36,12 +36,29 @@ _AQUEOUS_T = 3.05
 _CORNEA_T = 0.55
 
 
-def navarro_eye_stack(pupil_diameter_mm: float = 4.0) -> LensStack:
+def _disperse(n589: float, wavelength_nm: float) -> float:
+    """Cauchy-model ocular dispersion: refractivity-scaled water-like
+    coefficient reproducing ~2 diopters of LCA across the visible range
+    (the role of the reference's wavelength-dependent IOR spectra,
+    cameras.h:607-726)."""
+    b_water = 3000.0  # nm^2, fitted to water's n(400)-n(700)
+    scale = (n589 - 1.0) / 0.333
+    return n589 + b_water * scale * (
+        1.0 / wavelength_nm**2 - 1.0 / 589.0**2
+    )
+
+
+def navarro_eye_stack(pupil_diameter_mm: float = 4.0,
+                      wavelength_nm: float = 589.0) -> LensStack:
     """The Navarro relaxed eye as a film(retina)->scene LensStack (mm)."""
     z_lens_back = _VITREOUS_LEN
     z_lens_front = z_lens_back + _LENS_T
     z_cornea_back = z_lens_front + _AQUEOUS_T
     z_cornea_front = z_cornea_back + _CORNEA_T
+    n_vit = _disperse(1.336, wavelength_nm)
+    n_lens = _disperse(1.42, wavelength_nm)
+    n_aq = _disperse(1.3374, wavelength_nm)
+    n_cor = _disperse(1.367, wavelength_nm)
     # Sign flip vs the ophthalmic quotes: our conicoid has R > 0 convex
     # toward the film/retina (lens.py), ophthalmic tables use R > 0 convex
     # toward the incoming light (scene).
@@ -49,18 +66,18 @@ def navarro_eye_stack(pupil_diameter_mm: float = 4.0) -> LensStack:
         [
             # retina -> scene: lens posterior first (convex toward retina).
             {"z": z_lens_back, "radius": 6.0, "conic": -1.0,
-             "aperture": 5.0, "eta_before": 1.336, "eta_after": 1.42},
+             "aperture": 5.0, "eta_before": n_vit, "eta_after": n_lens},
             # pupil (iris stop) just behind the lens front vertex (offset so
             # the stop plane and the lens surface don't alias at t ~ 0).
             {"z": z_lens_front - 0.05, "radius": 0.0, "conic": 0.0,
              "aperture": pupil_diameter_mm / 2.0,
-             "eta_before": 1.42, "eta_after": 1.42},
+             "eta_before": n_lens, "eta_after": n_lens},
             {"z": z_lens_front, "radius": -10.2, "conic": -3.1316,
-             "aperture": 5.0, "eta_before": 1.42, "eta_after": 1.3374},
+             "aperture": 5.0, "eta_before": n_lens, "eta_after": n_aq},
             {"z": z_cornea_back, "radius": -6.5, "conic": 0.0,
-             "aperture": 5.5, "eta_before": 1.3374, "eta_after": 1.367},
+             "aperture": 5.5, "eta_before": n_aq, "eta_after": n_cor},
             {"z": z_cornea_front, "radius": -7.72, "conic": -0.26,
-             "aperture": 5.75, "eta_before": 1.367, "eta_after": 1.0},
+             "aperture": 5.75, "eta_before": n_cor, "eta_after": 1.0},
         ]
     )
 
@@ -75,10 +92,11 @@ class HumanEyeCamera:
 
     @staticmethod
     def navarro(camera_to_world, resolution, pupil_diameter_mm=4.0,
-                retina_semi_diam_mm=6.0) -> "HumanEyeCamera":
+                retina_semi_diam_mm=6.0,
+                wavelength_nm: float = 589.0) -> "HumanEyeCamera":
         return HumanEyeCamera(
             camera_to_world=camera_to_world,
-            lens=navarro_eye_stack(pupil_diameter_mm),
+            lens=navarro_eye_stack(pupil_diameter_mm, wavelength_nm),
             resolution=resolution,
             retina_semi_diam_mm=retina_semi_diam_mm,
         )

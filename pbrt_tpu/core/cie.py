@@ -83,10 +83,19 @@ _D65_LAMBDAS = _D65_LAMBDA_START + _D65_STEP * np.arange(len(_D65_VALUES))
 
 
 def illuminant_d65(lam):
-    """Relative spectral power of CIE D65, interpolated; ~100 at 560 nm."""
-    return jnp.interp(
-        lam, jnp.asarray(_D65_LAMBDAS), jnp.asarray(_D65_VALUES)
-    )
+    """Relative spectral power of CIE D65 (100 at 560 nm).
+
+    Evaluated as an exact hat-basis sum over the uniform 10nm table —
+    identical to linear interpolation but pure fused VPU arithmetic
+    (jnp.interp lowers to per-element gathers on this TPU backend).
+    """
+    lam = jnp.clip(lam, float(_D65_LAMBDAS[0]), float(_D65_LAMBDAS[-1]))
+    acc = jnp.zeros_like(lam)
+    for lk, vk in zip(_D65_LAMBDAS, _D65_VALUES):
+        acc = acc + float(vk) * jnp.maximum(
+            0.0, 1.0 - jnp.abs(lam - float(lk)) * 0.1
+        )
+    return acc
 
 
 def blackbody(lam_nm, temperature_k):

@@ -18,7 +18,14 @@ import jax.numpy as jnp
 from . import cie
 from .pytree import pytree
 
-N_SPECTRUM = 32
+# Spectral lane count. Default 32 = the ISET fork's 31 samples padded to the
+# TPU lane width (spectrum.h:34). Upstream pbrt-v4 uses 4 hero wavelengths;
+# set PBRT_TPU_NSPECTRUM=4/8 for the cheaper upstream-style mode (identical
+# estimator semantics, ~4-8x less spectral compute per ray, slightly higher
+# color noise at equal spp).
+import os as _os
+
+N_SPECTRUM = int(_os.environ.get("PBRT_TPU_NSPECTRUM", "32"))
 LAMBDA_MIN = cie.LAMBDA_MIN
 LAMBDA_MAX = cie.LAMBDA_MAX
 _RANGE = LAMBDA_MAX - LAMBDA_MIN

@@ -259,6 +259,23 @@ class LightBuffers:
 
     # -- emission queries ---------------------------------------------------
 
+    def _area_packed(self):
+        """(La, 16) packed area-light table: one gather serves the NEE branch
+        (verts 0:9, coeffs 9:12, scale 12, illum 13, two_sided 14, area 15)."""
+        f32 = jnp.float32
+        return jnp.concatenate(
+            [
+                self.area_verts.reshape(-1, 9),
+                self.area_coeffs,
+                self.area_scale[:, None],
+                self.area_illum.astype(f32)[:, None],
+                self.area_two_sided.astype(f32)[:, None],
+                self.area_area[:, None],
+            ],
+            axis=1,
+        )
+
+
     def area_radiance(self, light_idx, lam):
         """Emitted radiance of area light `light_idx` at wavelengths lam."""
         if self.n_area == 0:
@@ -278,12 +295,12 @@ class LightBuffers:
         """
         if self.n_area == 0:
             return jnp.zeros_like(lam)
+        i = jnp.clip(light_idx, 0, self.n_area - 1)
+        g = gather_rows(self._area_packed(), i)
         front = dot(n_geo, wo) > 0.0
-        two = gather_rows(
-            self.area_two_sided, jnp.clip(light_idx, 0, self.n_area - 1)
-        )
+        two = g[:, 14] > 0.5
         vis = front | two
-        L = self.area_radiance(light_idx, lam)
+        L = eval_emission(g[:, 9:12], g[:, 12], g[:, 13] > 0.5, lam)
         return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
 
     def escaped_radiance(self, d, lam):
@@ -349,7 +366,8 @@ class LightBuffers:
 
         if na > 0:
             ai = jnp.clip(idx, 0, na - 1)
-            verts = gather_rows(self.area_verts, ai)  # (N,3,3)
+            g = gather_rows(self._area_packed(), ai)  # (N, 16)
+            verts = g[:, 0:9].reshape(-1, 3, 3)
             b = sample_uniform_triangle(u_pos)  # (N,3)
             p_l = jnp.einsum("nk,nkj->nj", b, verts)
             e1 = verts[:, 1] - verts[:, 0]
@@ -360,16 +378,11 @@ class LightBuffers:
             d = jnp.sqrt(d2)
             wi_a = to_l / d[..., None]
             cos_l = dot(n_l, -wi_a)
-            two = gather_rows(self.area_two_sided, ai)
+            two = g[:, 14] > 0.5
             emit_ok = (cos_l > _EPS) | (two & (jnp.abs(cos_l) > _EPS))
-            area = jnp.maximum(gather_rows(self.area_area, ai), _EPS)
+            area = jnp.maximum(g[:, 15], _EPS)
             pdf_a = d2 / (jnp.abs(cos_l) * area + _EPS)
-            L_a = eval_emission(
-                gather_rows(self.area_coeffs, ai),
-                gather_rows(self.area_scale, ai),
-                gather_rows(self.area_illum, ai),
-                lam,
-            )
+            L_a = eval_emission(g[:, 9:12], g[:, 12], g[:, 13] > 0.5, lam)
             L_a = jnp.where(emit_ok[..., None], L_a, 0.0)
             use = idx < na
             L = jnp.where(use[..., None], L_a, L)
