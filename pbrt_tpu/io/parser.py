@@ -32,6 +32,8 @@ from ..cameras.perspective import PerspectiveCamera
 from ..core import transform as tfm
 from ..lights.buffers import LightBuffers
 from ..materials.buffers import (
+    MAT_COATEDCONDUCTOR,
+    MAT_COATEDDIFFUSE,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
@@ -232,7 +234,7 @@ class PbrtParser:
         mapping = {
             "independent": "independent", "random": "independent",
             "stratified": "stratified", "sobol": "sobol",
-            "paddedsobol": "sobol", "zsobol": "sobol", "halton": "sobol",
+            "paddedsobol": "sobol", "zsobol": "sobol", "halton": "halton",
             "pmj02bn": "sobol",
         }
         self.sampler_kind = mapping.get(kind, "independent")
@@ -348,14 +350,25 @@ class PbrtParser:
         refl = _get_vec(p, "reflectance")
         if refl is None:
             refl = _get_vec(p, "albedo")
-        if mtype in ("diffuse", "coateddiffuse", "diffusetransmission",
-                     "subsurface", "matte"):
+        if mtype in ("diffuse", "diffusetransmission", "subsurface", "matte"):
             spec["kind"] = MAT_DIFFUSE
             if mtype != "diffuse":
                 self.warnings.append(
                     f"material {mtype} approximated as diffuse"
                 )
-        elif mtype in ("conductor", "coatedconductor", "metal"):
+        elif mtype == "coateddiffuse":
+            spec["kind"] = MAT_COATEDDIFFUSE
+            spec["roughness"] = float(_get(p, "roughness", 0.1) or 0.1)
+            spec["coat_roughness"] = float(_get(p, "roughness", 0.05) or 0.05)
+        elif mtype == "coatedconductor":
+            spec["kind"] = MAT_COATEDCONDUCTOR
+            spec["roughness"] = float(
+                _get(p, "conductor.roughness", 0.05) or 0.05
+            )
+            spec["coat_roughness"] = float(
+                _get(p, "interface.roughness", 0.05) or 0.05
+            )
+        elif mtype in ("conductor", "metal"):
             spec["kind"] = MAT_CONDUCTOR
             spec["roughness"] = float(_get(p, "roughness", 0.01) or 0.01)
         elif mtype in ("dielectric", "glass"):
@@ -517,7 +530,43 @@ class PbrtParser:
             if self.cur_area_light is not None:
                 self.warnings.append("sphere area lights not yet supported")
             return
-        elif stype in ("disk", "bilinearmesh", "curve", "cylinder"):
+        elif stype == "disk":
+            # Tessellated analytic disk (z-plane, radius/innerradius/height).
+            r = float(_get(p, "radius", 1.0))
+            ri = float(_get(p, "innerradius", 0.0))
+            h = float(_get(p, "height", 0.0))
+            seg = 64
+            ang = np.linspace(0, 2 * np.pi, seg + 1)
+            outer = np.stack(
+                [r * np.cos(ang), r * np.sin(ang), np.full(seg + 1, h)], -1
+            )
+            inner = np.stack(
+                [ri * np.cos(ang), ri * np.sin(ang), np.full(seg + 1, h)], -1
+            )
+            tris = []
+            for i in range(seg):
+                tris.append([inner[i], outer[i], outer[i + 1]])
+                if ri > 0:
+                    tris.append([inner[i], outer[i + 1], inner[i + 1]])
+            local = np.asarray(tris, np.float32).reshape(-1, 3)
+            world = self._pts(local).reshape(-1, 3, 3)
+            tris = world
+        elif stype == "cylinder":
+            r = float(_get(p, "radius", 1.0))
+            z0 = float(_get(p, "zmin", -1.0))
+            z1 = float(_get(p, "zmax", 1.0))
+            seg = 64
+            ang = np.linspace(0, 2 * np.pi, seg + 1)
+            lo = np.stack([r * np.cos(ang), r * np.sin(ang), np.full(seg + 1, z0)], -1)
+            hi = np.stack([r * np.cos(ang), r * np.sin(ang), np.full(seg + 1, z1)], -1)
+            tris = []
+            for i in range(seg):
+                tris.append([lo[i], lo[i + 1], hi[i + 1]])
+                tris.append([lo[i], hi[i + 1], hi[i]])
+            local = np.asarray(tris, np.float32).reshape(-1, 3)
+            world = self._pts(local).reshape(-1, 3, 3)
+            tris = world
+        elif stype in ("bilinearmesh", "curve"):
             self.warnings.append(f"shape {stype} not yet supported; skipped")
             return
         else:

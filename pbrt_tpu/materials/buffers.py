@@ -22,6 +22,8 @@ MAT_DIFFUSE = 0
 MAT_CONDUCTOR = 1
 MAT_DIELECTRIC = 2
 MAT_THINDIELECTRIC = 3
+MAT_COATEDDIFFUSE = 4
+MAT_COATEDCONDUCTOR = 5
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -44,15 +46,18 @@ class MaterialBuffers:
     cond_k_coeffs: jnp.ndarray  # (M, 3) conductor k spectrum fit
     cond_k_scale: jnp.ndarray  # (M,)
     albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
+    coat_roughness: jnp.ndarray  # (M,) coating GGX roughness (coated kinds)
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
+    any_coated: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
         """materials: list of dicts with keys kind, albedo (rgb), roughness,
         eta, conductor ("Cu"/"Au"/"Ag"/"Al" or (eta_rgb, k_rgb) pair)."""
         kinds, albedos, rough, eta, texids = [], [], [], [], []
+        coat_rough = []
         c_eta, c_k = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
@@ -60,6 +65,7 @@ class MaterialBuffers:
             rough.append(m.get("roughness", 0.0))
             eta.append(m.get("eta", 1.5))
             texids.append(m.get("albedo_texture", -1))
+            coat_rough.append(m.get("coat_roughness", 0.05))
             cond = m.get("conductor", "Cu")
             if isinstance(cond, str):
                 cond = CONDUCTOR_PRESETS[cond]
@@ -79,9 +85,15 @@ class MaterialBuffers:
             cond_k_coeffs=ck,
             cond_k_scale=cks,
             albedo_tex=jnp.asarray(texids, jnp.int32),
-            any_conductor=any(k == MAT_CONDUCTOR for k in kinds),
+            coat_roughness=jnp.asarray(coat_rough, jnp.float32),
+            any_conductor=any(
+                k in (MAT_CONDUCTOR, MAT_COATEDCONDUCTOR) for k in kinds
+            ),
             any_dielectric=any(k == MAT_DIELECTRIC for k in kinds),
             any_thin=any(k == MAT_THINDIELECTRIC for k in kinds),
+            any_coated=any(
+                k in (MAT_COATEDDIFFUSE, MAT_COATEDCONDUCTOR) for k in kinds
+            ),
         )
 
     def gather(self, mat_idx):
@@ -104,6 +116,7 @@ class MaterialBuffers:
                 self.cond_k_coeffs,
                 self.cond_k_scale[:, None],
                 self.albedo_tex.astype(f32)[:, None],
+                self.coat_roughness[:, None],
             ],
             axis=1,
         )
@@ -118,7 +131,9 @@ class MaterialBuffers:
             "cond_k_coeffs": g[:, 10:13],
             "cond_k_scale": g[:, 13],
             "albedo_tex": jnp.round(g[:, 14]).astype(jnp.int32),
+            "coat_roughness": g[:, 15],
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,
+            "any_coated": self.any_coated,
         }

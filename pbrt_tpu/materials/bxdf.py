@@ -24,7 +24,14 @@ from ..core.sampling import (
 )
 from ..core.vecmath import normalize
 from . import scattering as sc
-from .buffers import MAT_CONDUCTOR, MAT_DIELECTRIC, MAT_DIFFUSE, MAT_THINDIELECTRIC
+from .buffers import (
+    MAT_COATEDCONDUCTOR,
+    MAT_COATEDDIFFUSE,
+    MAT_CONDUCTOR,
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE,
+    MAT_THINDIELECTRIC,
+)
 
 _EPS = 1e-8
 
@@ -263,6 +270,63 @@ def thin_dielectric_sample(eta, wo, uc):
     return wi, f, pdf
 
 
+
+
+# --- Coated materials (Fresnel-coupled two-lobe model) ----------------------
+# Approximation of the reference's stochastic LayeredBxDF random walk
+# (bxdfs.h:565-1035): a GGX dielectric coat lobe plus a base lobe attenuated
+# by both-direction Fresnel transmission (Ashikhmin-Shirley coupling). Energy
+# conserving and reciprocal; omits inter-layer multiple scattering.
+
+_COAT_ETA = 1.5
+
+
+def _coat_spec_f(alpha_c, wo, wi):
+    """GGX reflection lobe with dielectric Fresnel (scalar per ray)."""
+    same = _same_hemisphere(wo, wi)
+    wm = normalize(wo + wi)
+    wm_ok = jnp.sum((wo + wi) ** 2, axis=-1) > 1e-16
+    fr = sc.fr_dielectric(_dot(wo, wm), jnp.full_like(_cos(wo), _COAT_ETA))
+    d = sc.ggx_d(wm, alpha_c)
+    g = sc.ggx_g(wo, wi, alpha_c)
+    f = d * g * fr / jnp.maximum(4.0 * _abscos(wo) * _abscos(wi), _EPS)
+    rough = ~sc.effectively_smooth(alpha_c)
+    return jnp.where(same & wm_ok & rough, f, 0.0), fr
+
+
+def coated_f(base_f, alpha_c, wo, wi):
+    """base_f: (N, S) base-lobe BSDF. Returns the coupled coated BSDF."""
+    spec, _ = _coat_spec_f(alpha_c, wo, wi)
+    t_o = 1.0 - sc.fr_dielectric(
+        _abscos(wo), jnp.full_like(_cos(wo), _COAT_ETA)
+    )
+    t_i = 1.0 - sc.fr_dielectric(
+        _abscos(wi), jnp.full_like(_cos(wi), _COAT_ETA)
+    )
+    return spec[..., None] + (t_o * t_i)[..., None] * base_f
+
+
+def coated_pdf(base_pdf, alpha_c, wo, wi):
+    fr_o = sc.fr_dielectric(_abscos(wo), jnp.full_like(_cos(wo), _COAT_ETA))
+    p_spec = conductor_pdf(alpha_c, wo, wi)  # same visible-NDF reflection pdf
+    return fr_o * p_spec + (1.0 - fr_o) * base_pdf
+
+
+def coated_sample(base_sample_fn, base_f_fn, base_pdf_fn, alpha_c, wo, u2, uc):
+    """Lobe selection by Fresnel(wo); returns (wi, f, pdf)."""
+    fr_o = sc.fr_dielectric(_abscos(wo), jnp.full_like(_cos(wo), _COAT_ETA))
+    pick_spec = uc < fr_o
+    alpha_cr = jnp.maximum(alpha_c, 1e-3)
+    wm = sc.ggx_sample_wm(wo, u2, alpha_cr)
+    wi_spec = -wo + 2.0 * _dot(wo, wm)[..., None] * wm
+    wi_base, _, _ = base_sample_fn(u2)
+    wi = jnp.where(pick_spec[..., None], wi_spec, wi_base)
+    f = coated_f(base_f_fn(wi), alpha_cr, wo, wi)
+    pdf = coated_pdf(base_pdf_fn(wi), alpha_cr, wo, wi)
+    ok = _same_hemisphere(wo, wi)
+    return wi, jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+
+
 # --- Unified per-ray dispatch ----------------------------------------------
 
 
@@ -300,6 +364,18 @@ def evaluate(params, wo, wi, lam):
     if params["any_dielectric"]:
         f_d = dielectric_f(params["eta"], alpha, wo, wi)
         f = jnp.where((kind == MAT_DIELECTRIC)[..., None], f_d[..., None], f)
+    if params["any_coated"]:
+        alpha_c = sc.roughness_to_alpha(params["coat_roughness"])
+        alpha_c = jnp.maximum(alpha_c, 1e-3)
+        f_cd = coated_f(diffuse_f(albedo, wo, wi), alpha_c, wo, wi)
+        f = jnp.where((kind == MAT_COATEDDIFFUSE)[..., None], f_cd, f)
+        if params["any_conductor"]:
+            eta_c, k_c = _gather_spectral_eta_k(params, lam)
+            f_cc = coated_f(
+                conductor_f(eta_c, k_c, jnp.maximum(alpha, 1e-3), wo, wi),
+                alpha_c, wo, wi,
+            )
+            f = jnp.where((kind == MAT_COATEDCONDUCTOR)[..., None], f_cc, f)
     return f
 
 
@@ -313,6 +389,18 @@ def pdf(params, wo, wi):
         p = jnp.where(
             kind == MAT_DIELECTRIC, dielectric_pdf(params["eta"], alpha, wo, wi), p
         )
+    if params["any_coated"]:
+        alpha_c = jnp.maximum(
+            sc.roughness_to_alpha(params["coat_roughness"]), 1e-3
+        )
+        p_cd = coated_pdf(diffuse_pdf(wo, wi), alpha_c, wo, wi)
+        p = jnp.where(kind == MAT_COATEDDIFFUSE, p_cd, p)
+        if params["any_conductor"]:
+            p_cc = coated_pdf(
+                conductor_pdf(jnp.maximum(alpha, 1e-3), wo, wi),
+                alpha_c, wo, wi,
+            )
+            p = jnp.where(kind == MAT_COATEDCONDUCTOR, p_cc, p)
     return p
 
 
@@ -343,6 +431,36 @@ def sample(params, wo, lam, u2, uc):
         f = jnp.where(m[..., None], f_d[..., None], f)
         p = jnp.where(m, p_d, p)
         specular = jnp.where(m, spec_d, specular)
+
+    if params["any_coated"]:
+        alpha_c = jnp.maximum(
+            sc.roughness_to_alpha(params["coat_roughness"]), 1e-3
+        )
+        wi_cd, f_cd, p_cd = coated_sample(
+            lambda u: diffuse_sample(albedo, wo, u),
+            lambda wi_: diffuse_f(albedo, wo, wi_),
+            lambda wi_: diffuse_pdf(wo, wi_),
+            alpha_c, wo, u2, uc,
+        )
+        m = kind == MAT_COATEDDIFFUSE
+        wi = jnp.where(m[..., None], wi_cd, wi)
+        f = jnp.where(m[..., None], f_cd, f)
+        p = jnp.where(m, p_cd, p)
+        specular = jnp.where(m, False, specular)
+        if params["any_conductor"]:
+            eta_c, k_c = _gather_spectral_eta_k(params, lam)
+            alpha_b = jnp.maximum(alpha, 1e-3)
+            wi_cc, f_cc, p_cc = coated_sample(
+                lambda u: conductor_sample(eta_c, k_c, alpha_b, wo, u)[:3],
+                lambda wi_: conductor_f(eta_c, k_c, alpha_b, wo, wi_),
+                lambda wi_: conductor_pdf(alpha_b, wo, wi_),
+                alpha_c, wo, u2, uc,
+            )
+            m = kind == MAT_COATEDCONDUCTOR
+            wi = jnp.where(m[..., None], wi_cc, wi)
+            f = jnp.where(m[..., None], f_cc, f)
+            p = jnp.where(m, p_cc, p)
+            specular = jnp.where(m, False, specular)
 
     if params["any_thin"]:
         wi_t, f_t, p_t = thin_dielectric_sample(params["eta"], wo, uc)

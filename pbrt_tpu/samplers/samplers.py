@@ -57,6 +57,40 @@ def _sobol_dim1(idx):
     return result
 
 
+_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+            59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113,
+            127, 131)
+
+
+def _scrambled_radical_inverse(idx, base: int, perm_seed):
+    """Radical inverse in `base` with per-digit hash permutations.
+
+    Reference: ScrambledRadicalInverse + DigitPermutation
+    (util/lowdiscrepancy.h:26,115). The permutation of digit position i is
+    a hash-derived affine map (d + h(i)) % base — enough decorrelation for
+    padded usage.
+    """
+    inv_base = 1.0 / base
+    n_digits = max(2, int(32 / max(1, (base - 1).bit_length())))
+
+    def body(i, carry):
+        val, inv, rest = carry
+        digit = rest % base
+        h, _, _, _ = rng.pcg4d(perm_seed, i, base, 0x51633E2D)
+        digit = (digit + h % base) % base
+        val = val + digit.astype(jnp.float32) * inv
+        return val, inv * inv_base, rest // base
+
+    val, _, _ = jax.lax.fori_loop(
+        0, n_digits,
+        body,
+        (jnp.zeros(idx.shape, jnp.float32),
+         jnp.full(idx.shape, inv_base, jnp.float32),
+         idx.astype(jnp.uint32)),
+    )
+    return jnp.minimum(val, 1.0 - 1e-7)
+
+
 def _fast_owen_scramble(v, scramble_seed):
     """Laine-Karras-style hash acting as an Owen scramble in reversed-bit
     space (ref: FastOwenScrambler, util/lowdiscrepancy.h:168)."""
@@ -84,7 +118,7 @@ class Sampler:
 
     @staticmethod
     def create(kind: str = "independent", spp: int = 16, seed: int = 0):
-        assert kind in ("independent", "stratified", "sobol"), kind
+        assert kind in ("independent", "stratified", "sobol", "halton"), kind
         return Sampler(seed=jnp.asarray(seed, jnp.int32), kind=kind, spp=spp)
 
     # -- implementation helpers ---------------------------------------------
@@ -115,6 +149,12 @@ class Sampler:
             idx = self._shuffled_index(pixel, sample_idx, dim)
             jitter = rng.uniform_1d(pixel, sample_idx, dim, self.seed + 1)
             return (idx.astype(jnp.float32) + jitter) / self.spp
+        if self.kind == "halton":
+            idx = self._shuffled_index(pixel, sample_idx, dim)
+            base = _PRIMES[0]
+            return _scrambled_radical_inverse(
+                idx, base, self._hash(pixel, dim)
+            )
         # sobol
         idx = self._shuffled_index(pixel, sample_idx, dim)
         bits = _fast_owen_scramble(_sobol_dim0(idx), self._hash(pixel, dim))
@@ -135,6 +175,14 @@ class Sampler:
             sx = (idx % nx).astype(jnp.float32)
             sy = ((idx // nx) % ny).astype(jnp.float32)
             return (sx + jx) / nx, (sy + jy) / ny
+        if self.kind == "halton":
+            # Padded (base-2, base-3) Halton pair per dimension slot.
+            idx = self._shuffled_index(pixel, sample_idx, dim)
+            u0 = _scrambled_radical_inverse(idx, 2, self._hash(pixel, dim))
+            u1 = _scrambled_radical_inverse(
+                idx, 3, self._hash(pixel, dim + jnp.int32(0x7777))
+            )
+            return u0, u1
         # sobol: a fresh scrambled (dim0, dim1) pair per dimension slot.
         idx = self._shuffled_index(pixel, sample_idx, dim)
         h0 = self._hash(pixel, dim)

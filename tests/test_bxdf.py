@@ -15,6 +15,7 @@ from pbrt_tpu.core import rng, spectrum
 from pbrt_tpu.core.vecmath import normalize
 from pbrt_tpu.materials import bxdf, scattering as sc
 from pbrt_tpu.materials.buffers import (
+    MAT_COATEDDIFFUSE,
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_THINDIELECTRIC,
@@ -224,3 +225,43 @@ def test_thin_dielectric_energy():
     np.testing.assert_allclose(
         np.asarray(wi)[trans_mask], -np.asarray(wo)[trans_mask], atol=1e-5
     )
+
+
+def test_coated_diffuse():
+    """Fresnel-coupled coat: reciprocal, energy-conserving, glossier than
+    plain diffuse at grazing angles."""
+    n = 100_000
+    params = _params(MAT_COATEDDIFFUSE, n, albedo=(0.8, 0.8, 0.8),
+                     coat_roughness=0.1)
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.3, 0.1, 0.9]), (n, 3)))
+    lam = _lam(n)
+    out = bxdf.sample(params, wo, lam, _u2(n), _uc(n))
+    ok = np.asarray(out["pdf"]) > 1e-6
+    assert ok.mean() > 0.9
+    # sample/eval/pdf consistency.
+    f2 = np.asarray(bxdf.evaluate(params, wo, out["wi"], lam))
+    p2 = np.asarray(bxdf.pdf(params, wo, out["wi"]))
+    np.testing.assert_allclose(
+        np.asarray(out["f"])[ok], f2[ok], rtol=5e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pdf"])[ok], p2[ok], rtol=5e-3, atol=1e-6
+    )
+    # Energy: rho <= 1.
+    w = np.where(
+        ok[:, None],
+        np.asarray(out["f"]) * np.abs(np.asarray(out["wi"])[:, 2:3])
+        / np.maximum(np.asarray(out["pdf"]), 1e-12)[:, None],
+        0.0,
+    )
+    rho = w.mean()
+    assert 0.3 < rho <= 1.02, rho
+    # Reciprocity of the full coated BSDF.
+    a = normalize(jnp.asarray([[0.5, 0.1, 0.85]]))
+    b = normalize(jnp.asarray([[-0.3, 0.4, 0.86]]))
+    p1 = _params(MAT_COATEDDIFFUSE, 1, albedo=(0.8, 0.8, 0.8),
+                 coat_roughness=0.1)
+    lam1 = _lam(1)
+    fab = np.asarray(bxdf.evaluate(p1, a, b, lam1))
+    fba = np.asarray(bxdf.evaluate(p1, b, a, lam1))
+    np.testing.assert_allclose(fab, fba, rtol=1e-4)

@@ -105,3 +105,25 @@ def test_render_with_each_sampler():
     # Same scene: all samplers agree on the mean image value within noise.
     vals = list(means.values())
     assert max(vals) - min(vals) < 0.15 * max(vals), means
+
+
+def test_halton_sampler():
+    s = Sampler.create("halton", spp=16, seed=2)
+    pix = jnp.zeros((16,), jnp.int32)
+    sample = jnp.arange(16, dtype=jnp.int32)
+    u0, u1 = s.get_2d(pix, sample, jnp.int32(8))
+    u0, u1 = np.asarray(u0), np.asarray(u1)
+    assert (0 <= u0).all() and (u0 < 1).all()
+    assert (0 <= u1).all() and (u1 < 1).all()
+    # Base-2 component of 16 consecutive samples is perfectly stratified.
+    strata = np.sort((u0 * 16).astype(int))
+    np.testing.assert_array_equal(strata, np.arange(16))
+    # Base-3 component: each third contains at least 4 of 16.
+    thirds = np.bincount((u1 * 3).astype(int), minlength=3)
+    assert thirds.min() >= 4
+    # Variance reduction vs independent on a smooth integrand.
+    f = lambda a, b: jnp.sin(3 * a) * b + a * a
+    v_h, m_h = _variance_of_pixel_means("halton", f)
+    v_i, m_i = _variance_of_pixel_means("independent", f)
+    assert abs(m_h - m_i) < 0.01
+    assert v_h < 0.5 * v_i, (v_h, v_i)
