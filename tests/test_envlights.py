@@ -164,3 +164,19 @@ def test_spot_light_cone():
     outside = probe(3.0)  # tan(20 deg) * 4 = 1.46 -> x=3 is outside the cone
     assert inside > 0.1, inside
     assert outside < 1e-5, outside
+
+
+def test_manylight_scene_renders():
+    """BASELINE config 3 shape: 1024 area lights + power sampler."""
+    from pbrt_tpu.render import render
+    from pbrt_tpu.scenes.manylight import manylight_scene
+
+    scene, camera = manylight_scene(resolution=(24, 24), n_lights=256)
+    assert scene.lights.n_area == 512  # 2 triangles per panel
+    assert scene.lights.sampler == "power"
+    img = np.asarray(
+        render(scene, camera, PathIntegrator(max_depth=3), spp=4,
+               samples_per_pass=2)
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
