@@ -63,7 +63,10 @@ def camera_rays(camera, pixel, sample_idx, sampler, jitter: bool = True):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("integrator", "spp", "samples_per_pass", "jitter", "sampler_kind"),
+    static_argnames=(
+        "integrator", "spp", "samples_per_pass", "jitter", "sampler_kind",
+        "total_spp",
+    ),
 )
 def render(
     scene: Scene,
@@ -74,12 +77,21 @@ def render(
     samples_per_pass: int = 1,
     jitter: bool = True,
     sampler_kind: str = "independent",
+    sample_offset: int = 0,
+    total_spp: int | None = None,
 ) -> jnp.ndarray:
-    """Render and return the developed linear-RGB image (ny, nx, 3)."""
+    """Render and return the developed linear-RGB image (ny, nx, 3).
+
+    sample_offset/total_spp support chunked rendering (render_chunked): this
+    call covers sample indices [sample_offset, sample_offset + spp) of a
+    total_spp-sample render.
+    """
     from .samplers.samplers import Sampler
 
     sampler = Sampler(
-        seed=jnp.asarray(seed, jnp.int32), kind=sampler_kind, spp=spp
+        seed=jnp.asarray(seed, jnp.int32),
+        kind=sampler_kind,
+        spp=total_spp or spp,
     )
     nx, ny = camera.resolution
     npix = nx * ny
@@ -92,7 +104,8 @@ def render(
 
     def one_pass(pass_idx, film: RGBFilm) -> RGBFilm:
         sample_b = jnp.repeat(
-            pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix
+            sample_offset + pass_idx * k + jnp.arange(k, dtype=jnp.int32),
+            npix,
         )
         o, d, wl, w = camera_rays_full(
             camera, pixel_b, sample_b, sampler, jitter
@@ -107,3 +120,40 @@ def render(
     film = RGBFilm.zeros((nx, ny))
     film = jax.lax.fori_loop(0, n_passes, one_pass, film)
     return film.image()
+
+
+def render_chunked(
+    scene: Scene,
+    camera,
+    integrator,
+    spp: int = 64,
+    seed: int = 0,
+    samples_per_pass: int = 4,
+    chunk_spp: int = 8,
+    **kw,
+) -> jnp.ndarray:
+    """render() split into multiple device calls of chunk_spp each.
+
+    Large single XLA programs can exceed device watchdog limits (and hold the
+    chip for minutes); chunking keeps each call short while sample indices
+    continue across chunks, so the result equals one big render.
+    """
+    chunk_spp = max(samples_per_pass, chunk_spp - chunk_spp % samples_per_pass)
+    imgs = []
+    done = 0
+    while done < spp:
+        cur = min(chunk_spp, spp - done)
+        imgs.append(
+            render(
+                scene, camera, integrator,
+                spp=cur,
+                seed=seed,
+                samples_per_pass=min(samples_per_pass, cur),
+                sample_offset=done,
+                total_spp=spp,
+                **kw,
+            )
+            * cur
+        )
+        done += cur
+    return sum(imgs) / spp
