@@ -24,22 +24,30 @@ from .models.path import PathIntegrator
 from .scene import Scene
 
 
-def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True):
+def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True,
+                     filt=None):
     """Generate primary rays + wavelengths + camera weight for pixel ids.
 
     Works with every camera family: pinhole-style cameras return (o, d) from
     generate_rays; lens cameras (Realistic/Omni/HumanEye/RTF) additionally
     return a per-ray weight (0 = vignetted). sampler: a samplers.Sampler or
-    an int seed (-> independent).
+    an int seed (-> independent). filt: optional filters.Filter for
+    importance-sampled reconstruction (box jitter otherwise).
     """
     from .samplers.samplers import as_sampler
 
     sampler = as_sampler(sampler)
     nx, ny = camera.resolution
     jx, jy = sampler.get_2d(pixel, sample_idx, 0)
+    w_filter = None
     if not jitter:
         jx = jnp.full_like(jx, 0.5)
         jy = jnp.full_like(jy, 0.5)
+    elif filt is not None and filt.kind != "box":
+        fs = filt.sample(jnp.stack([jx, jy], axis=-1))
+        jx = 0.5 + fs.p[..., 0]
+        jy = 0.5 + fs.p[..., 1]
+        w_filter = fs.weight
     px = (pixel % nx).astype(jnp.float32) + jx
     py = (pixel // nx).astype(jnp.float32) + jy
     p_film = jnp.stack([px, py], axis=-1)
@@ -50,6 +58,8 @@ def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True):
     else:
         o, d = out
         w = jnp.ones_like(px)
+    if w_filter is not None:
+        w = w * w_filter
     u_wl = sampler.get_1d(pixel, sample_idx, 4)
     wl = spectrum.sample_visible(u_wl)
     return o, d, wl, w
@@ -65,7 +75,7 @@ def camera_rays(camera, pixel, sample_idx, sampler, jitter: bool = True):
     jax.jit,
     static_argnames=(
         "integrator", "spp", "samples_per_pass", "jitter", "sampler_kind",
-        "total_spp",
+        "total_spp", "filter_kind",
     ),
 )
 def render(
@@ -79,6 +89,7 @@ def render(
     sampler_kind: str = "independent",
     sample_offset: int = 0,
     total_spp: int | None = None,
+    filter_kind: str = "box",
 ) -> jnp.ndarray:
     """Render and return the developed linear-RGB image (ny, nx, 3).
 
@@ -93,6 +104,11 @@ def render(
         kind=sampler_kind,
         spp=total_spp or spp,
     )
+    filt = None
+    if filter_kind != "box":
+        from .filters.filters import Filter
+
+        filt = Filter.create(filter_kind)
     nx, ny = camera.resolution
     npix = nx * ny
     pixel = jnp.arange(npix, dtype=jnp.int32)
@@ -108,7 +124,7 @@ def render(
             npix,
         )
         o, d, wl, w = camera_rays_full(
-            camera, pixel_b, sample_b, sampler, jitter
+            camera, pixel_b, sample_b, sampler, jitter, filt
         )
         radiance = integrator.trace(
             scene, o, d, wl, pixel_b, sample_b, sampler

@@ -112,3 +112,23 @@ def test_tev_client_unreachable_ok():
 
     ok = send_to_tev(np.zeros((4, 4, 3), np.float32), port=59999)
     assert ok is False  # no server: graceful False, no exception
+
+
+def test_randomwalk_matches_path():
+    """RandomWalk is the unbiased oracle: agrees with Path within MC noise."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.models.ao import RandomWalkIntegrator
+    from pbrt_tpu.models.path import PathIntegrator
+    from pbrt_tpu.render import camera_rays
+    from pbrt_tpu.scenes.cornell import cornell_box
+
+    scene, camera = cornell_box(resolution=(8, 8))
+    pixel = jnp.tile(jnp.arange(64, dtype=jnp.int32), (128,))
+    sample = jnp.repeat(jnp.arange(128, dtype=jnp.int32), 64)
+    o, d, wl = camera_rays(camera, pixel, sample, jnp.int32(0))
+    rw = RandomWalkIntegrator(max_depth=4)
+    pt = PathIntegrator(max_depth=4, rr_start_depth=100)
+    l_rw = float(jnp.mean(rw.trace(scene, o, d, wl, pixel, sample, jnp.int32(0))))
+    l_pt = float(jnp.mean(pt.trace(scene, o, d, wl, pixel, sample, jnp.int32(0))))
+    assert abs(l_rw - l_pt) < 0.25 * max(l_pt, 1e-3), (l_rw, l_pt)
