@@ -21,7 +21,6 @@ Navarro relaxed-eye parameters (public data): surfaces film(retina)->pupil
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static_field

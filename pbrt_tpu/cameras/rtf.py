@@ -18,8 +18,6 @@ Outputs: (ox, oy, oz, dx, dy, dz) at the front vertex plane + validity.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,8 +88,6 @@ def fit_from_camera(
 ) -> RTFCamera:
     """Fit an RTFCamera to a RealisticCamera/HumanEyeCamera by tracing a
     training set through its lens stack and solving least squares."""
-    from .lens import trace_through_stack
-
     r = np.random.default_rng(seed)
     nx, ny = lens_camera.resolution
     p_film = np.stack(

@@ -12,8 +12,6 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from . import cie
-
 
 def _xyy_to_xyz(x: float, y: float, Y: float = 1.0) -> np.ndarray:
     return np.array([x * Y / y, Y, (1.0 - x - y) * Y / y])

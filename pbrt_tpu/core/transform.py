@@ -12,7 +12,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .pytree import pytree
-from .vecmath import normalize, cross
 
 
 @pytree

@@ -24,7 +24,6 @@ reporting, paramdict.h:97).
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 

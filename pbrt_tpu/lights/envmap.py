@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import rgb2spec
-from ..core.pytree import pytree, static_field
+from ..core.pytree import pytree
 from ..core.sampling import PiecewiseConstant2D
 from ..core.vecmath import (
     equal_area_sphere_to_square,

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin
-from ..core import rng
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
 from ..core.vecmath import coordinate_system, dot, from_local, to_local

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core import spectrum
-from ..core.pytree import pytree, static_field
 from ..films.rgb import spectrum_to_rgb
 from ..models.path import PathIntegrator
 from ..render import camera_rays_full

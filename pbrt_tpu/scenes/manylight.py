@@ -13,7 +13,6 @@ import numpy as np
 from ..cameras.perspective import PerspectiveCamera
 from ..core import transform
 from ..lights.buffers import LightBuffers
-from ..lights.envmap import EnvironmentMap
 from ..materials.buffers import MAT_COATEDDIFFUSE, MAT_DIFFUSE, MaterialBuffers
 from ..scene import Scene
 from ..shapes.geometry import GeometryBuffers, make_box, make_quad

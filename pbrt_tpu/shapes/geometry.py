@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.pytree import pytree, static_field
+from ..core.pytree import pytree
 
 
 @pytree

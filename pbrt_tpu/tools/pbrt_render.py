@@ -31,8 +31,6 @@ def main(argv=None):
                    help="tev host:port for live preview")
     args = p.parse_args(argv)
 
-    import jax
-
     from ..io.image import write_exr
     from ..io.parser import load_pbrt
     from ..render import render

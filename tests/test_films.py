@@ -75,3 +75,49 @@ def test_custom_sensor_white_normalization():
     rgb = np.asarray(sensor.to_sensor_rgb(d65, wl))
     scale = rgb.mean()
     np.testing.assert_allclose(rgb / scale, 1.0, atol=0.06)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted render resumed from checkpoint == uninterrupted render."""
+    from pbrt_tpu.films.checkpoint import load_checkpoint, render_resumable
+    from pbrt_tpu.render import render_chunked
+
+    scene, camera = cornell_box(resolution=(12, 12))
+    integ = PathIntegrator(max_depth=2)
+    ck = str(tmp_path / "film.npz")
+
+    # Run the first half only (simulate a kill after 8 of 16 spp).
+    import pbrt_tpu.films.checkpoint as ckpt
+
+    try:
+        orig = ckpt.save_checkpoint
+        calls = {"n": 0}
+
+        def killing_save(path, rgb_sum, spp_done, total_spp, seed):
+            orig(path, rgb_sum, spp_done, total_spp, seed)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt
+
+        ckpt.save_checkpoint = killing_save
+        try:
+            render_resumable(scene, camera, integ, spp=16,
+                             checkpoint_path=ck, chunk_spp=8,
+                             samples_per_pass=4)
+            assert False, "expected interrupt"
+        except KeyboardInterrupt:
+            pass
+    finally:
+        ckpt.save_checkpoint = orig
+
+    _, done, total, _ = load_checkpoint(ck)
+    assert done == 8 and total == 16
+    resumed = np.asarray(
+        render_resumable(scene, camera, integ, spp=16, checkpoint_path=ck,
+                         chunk_spp=8, samples_per_pass=4)
+    )
+    direct = np.asarray(
+        render_chunked(scene, camera, integ, spp=16, chunk_spp=8,
+                       samples_per_pass=4)
+    )
+    np.testing.assert_allclose(resumed, direct, atol=1e-6)
