@@ -27,7 +27,7 @@ def _gauss(lam, alpha, mu, sigma1, sigma2):
     return alpha * jnp.exp(-0.5 * t * t)
 
 
-def cie_x(lam):
+def _cie_x_gauss(lam):
     return (
         _gauss(lam, 1.056, 599.8, 37.9, 31.0)
         + _gauss(lam, 0.362, 442.0, 16.0, 26.7)
@@ -35,15 +35,60 @@ def cie_x(lam):
     )
 
 
-def cie_y(lam):
+def _cie_y_gauss(lam):
     return _gauss(lam, 0.821, 568.8, 46.9, 40.5) + _gauss(
         lam, 0.286, 530.9, 16.3, 31.1
     )
 
 
-def cie_z(lam):
+def _cie_z_gauss(lam):
     return _gauss(lam, 1.217, 437.0, 11.8, 36.0) + _gauss(
         lam, 0.681, 459.0, 26.0, 13.8
+    )
+
+
+# Device-side evaluation uses Chebyshev series fitted to the Gaussian-lobe
+# curves (Clenshaw = pure fused mul-adds; the lobes cost ~14 exp per sample).
+_CHEB_LO, _CHEB_HI, _CHEB_DEG = 360.0, 830.0, 48
+_CHEB_XYZ = None
+
+
+def _cheb_xyz():
+    global _CHEB_XYZ
+    if _CHEB_XYZ is None:
+        from . import cheb
+
+        _CHEB_XYZ = tuple(
+            cheb.chebfit_fn(
+                lambda l: np.asarray(fn(jnp.asarray(l))),
+                _CHEB_LO, _CHEB_HI, _CHEB_DEG,
+            )
+            for fn in (_cie_x_gauss, _cie_y_gauss, _cie_z_gauss)
+        )
+    return _CHEB_XYZ
+
+
+def cie_x(lam):
+    from . import cheb
+
+    return jnp.maximum(
+        cheb.chebeval(lam, _cheb_xyz()[0], _CHEB_LO, _CHEB_HI), 0.0
+    )
+
+
+def cie_y(lam):
+    from . import cheb
+
+    return jnp.maximum(
+        cheb.chebeval(lam, _cheb_xyz()[1], _CHEB_LO, _CHEB_HI), 0.0
+    )
+
+
+def cie_z(lam):
+    from . import cheb
+
+    return jnp.maximum(
+        cheb.chebeval(lam, _cheb_xyz()[2], _CHEB_LO, _CHEB_HI), 0.0
     )
 
 

@@ -73,8 +73,10 @@ class VolPathIntegrator:
             # The majorant is a sampling control, not a physical quantity:
             # detaching it routes all parameter dependence through the
             # continuous weights instead of the (pathwise-invisible)
-            # collision count.
-            sigma_maj = jax.lax.stop_gradient(sigma_maj)
+            # collision count. Inflate it so no wavelength lane sits AT the
+            # majorant (a lane with sigma_t == sigma_maj gets null weight 0
+            # and would lose its entire pathwise gradient).
+            sigma_maj = jax.lax.stop_gradient(1.5 * sigma_maj)
         sa_u, ss_u = med.sigma_base(lam)  # (N, S) unit-density
 
         def cond(state):
@@ -152,7 +154,8 @@ class VolPathIntegrator:
                 t0, t1 = med.bounds_segment(o, d, t_surf)
                 sigma_maj = med.sigma_majorant(lam)
                 if self.differentiable:
-                    sigma_maj = jax.lax.stop_gradient(sigma_maj)
+                    # Inflated + detached: see _transmittance.
+                    sigma_maj = jax.lax.stop_gradient(1.5 * sigma_maj)
                 sa_u, ss_u = med.sigma_base(lam)
 
                 def wcond(st):
