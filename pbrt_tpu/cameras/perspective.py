@@ -64,3 +64,41 @@ class PerspectiveCamera:
         o_w = self.camera_to_world.apply_point(o_cam)
         d_w = self.camera_to_world.apply_vector(d_cam)
         return o_w, d_w
+
+    @property
+    def position(self):
+        """World-space pinhole position (lens_radius == 0)."""
+        return self.camera_to_world.apply_point(jnp.zeros((1, 3)))[0]
+
+    def pixel_solid_angle_base(self) -> float:
+        """Pixel area on the camera-space z=1 plane; the solid angle of pixel
+        j is this times cos^3(theta_j) (for light-path / BDPT splatting:
+        PerspectiveCamera::We, cameras.cpp)."""
+        nx, ny = self.resolution
+        x0, x1, y0, y1 = self._screen_window()
+        tan_half = float(np.tan(np.deg2rad(self.fov_deg) / 2.0))
+        w = (x1 - x0) * tan_half
+        h = (y1 - y0) * tan_half
+        return (w * h) / (nx * ny)
+
+    def project(self, p_world):
+        """World points -> (raster xy, cos_theta_cam, valid_in_film).
+
+        Inverse of generate_rays' raster mapping (pinhole path).
+        """
+        nx, ny = self.resolution
+        x0, x1, y0, y1 = self._screen_window()
+        tan_half = float(np.tan(np.deg2rad(self.fov_deg) / 2.0))
+        p_cam = self.camera_to_world.inverse().apply_point(p_world)
+        z = p_cam[..., 2]
+        valid = z > 1e-6
+        zs = jnp.where(valid, z, 1.0)
+        sx = p_cam[..., 0] / (zs * tan_half)
+        sy = p_cam[..., 1] / (zs * tan_half)
+        px = (sx - x0) / (x1 - x0) * nx
+        py = (y1 - sy) / (y1 - y0) * ny
+        cos_t = zs / jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-20)
+        inside = (
+            valid & (px >= 0) & (px < nx) & (py >= 0) & (py < ny)
+        )
+        return jnp.stack([px, py], axis=-1), cos_t, inside
