@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--stats", action="store_true")
     p.add_argument("--display-server", default=None,
                    help="tev host:port for live preview")
+    p.add_argument("--gbuffer", action="store_true",
+                   help="also write <outfile>_aov.exr with GBuffer channels")
+    p.add_argument("--spectral-buckets", type=int, default=0,
+                   help="also write <outfile>_spectral.exr with N buckets")
     args = p.parse_args(argv)
 
     from ..io.image import write_exr
@@ -86,6 +90,32 @@ def main(argv=None):
     if not args.quiet:
         print(f"rendered {spp} spp in {dt:.2f}s -> {args.outfile}",
               file=sys.stderr)
+    if args.gbuffer or args.spectral_buckets:
+        from ..films.gbuffer import render_aovs
+
+        aovs = render_aovs(
+            scene, camera, integrator, spp=min(spp, 8), seed=args.seed,
+            spectral_buckets=args.spectral_buckets,
+        )
+        base = args.outfile.rsplit(".", 1)[0]
+        if args.gbuffer:
+            chans = np.concatenate(
+                [aovs["p"], aovs["n"], aovs["albedo_rgb"],
+                 aovs["depth"][..., None], aovs["material_id"][..., None],
+                 aovs["prim_id"][..., None], aovs["variance"][..., None]],
+                axis=-1,
+            )
+            names = ["Px", "Py", "Pz", "Nx", "Ny", "Nz", "AlbedoR",
+                     "AlbedoG", "AlbedoB", "Depth", "MaterialId", "PrimId",
+                     "Variance"]
+            write_exr(base + "_aov.exr", chans, channel_names=names)
+        if args.spectral_buckets:
+            write_exr(
+                base + "_spectral.exr", aovs["spectral"],
+                channel_names=[
+                    f"L{int(i):02d}" for i in range(args.spectral_buckets)
+                ],
+            )
     if args.stats:
         print(json.dumps({"spp": spp, "seconds": dt,
                           "mean": float(img.mean())}))

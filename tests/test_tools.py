@@ -132,3 +132,35 @@ def test_randomwalk_matches_path():
     l_rw = float(jnp.mean(rw.trace(scene, o, d, wl, pixel, sample, jnp.int32(0))))
     l_pt = float(jnp.mean(pt.trace(scene, o, d, wl, pixel, sample, jnp.int32(0))))
     assert abs(l_rw - l_pt) < 0.25 * max(l_pt, 1e-3), (l_rw, l_pt)
+
+
+def test_pbrt_cli_gbuffer(tmp_path):
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(
+        """
+Film "rgb" "integer xresolution" [12] "integer yresolution" [12]
+LookAt 0.5 0.5 -1.4  0.5 0.5 0.5  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [1 1 1] "float scale" [10]
+  Shape "trianglemesh" "point3 P" [0.3 0.99 0.3  0.7 0.99 0.3  0.7 0.99 0.7  0.3 0.99 0.7]
+      "integer indices" [0 1 2  0 2 3]
+AttributeEnd
+Shape "trianglemesh" "point3 P" [0 0 0  1 0 0  1 0 1  0 0 1]
+    "integer indices" [0 2 1  0 3 2]
+WorldEnd
+"""
+    )
+    out = str(tmp_path / "o.exr")
+    from pbrt_tpu.tools.pbrt_render import main
+
+    rc = main([str(scene), "--outfile", out, "--spp", "4",
+               "--samples-per-pass", "2", "--quiet", "--gbuffer",
+               "--spectral-buckets", "6"])
+    assert rc == 0
+    aov, chans, _ = read_exr(str(tmp_path / "o_aov.exr"))
+    assert "Depth" in chans and "MaterialId" in chans and "Nz" in chans
+    spec, schans, _ = read_exr(str(tmp_path / "o_spectral.exr"))
+    assert len(schans) == 6
+    assert np.isfinite(spec).all()
