@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--stats", action="store_true")
     p.add_argument("--display-server", default=None,
                    help="tev host:port for live preview")
+    p.add_argument("--mse-reference-image", default=None,
+                   help="compute MSE vs this converged EXR (the reference's "
+                        "--mse-reference-image convergence harness)")
+    p.add_argument("--mse-out", default=None,
+                   help="append the MSE record as a JSON line to this file")
     p.add_argument("--gbuffer", action="store_true",
                    help="also write <outfile>_aov.exr with GBuffer channels")
     p.add_argument("--spectral-buckets", type=int, default=0,
@@ -116,6 +121,19 @@ def main(argv=None):
                     f"L{int(i):02d}" for i in range(args.spectral_buckets)
                 ],
             )
+    if args.mse_reference_image:
+        from ..io.image import read_exr
+
+        ref_img, chans, _ = read_exr(args.mse_reference_image)
+        ref = np.stack(
+            [ref_img[..., chans.index(c)] for c in "RGB"], axis=-1
+        )
+        mse = float(np.mean((img - ref) ** 2))
+        rec = {"spp": spp, "seconds": dt, "mse": mse}
+        print(json.dumps(rec))
+        if args.mse_out:
+            with open(args.mse_out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
     if args.stats:
         print(json.dumps({"spp": spp, "seconds": dt,
                           "mean": float(img.mean())}))
