@@ -524,10 +524,16 @@ class PbrtParser:
             center = self._pts(np.zeros((1, 3)))[0]
             # Uniform scale assumed for spheres (pbrt requires this too).
             sc = np.linalg.norm(self.ctm[:3, 0])
+            if self.cur_area_light is not None:
+                # Emissive spheres become icosphere area-light meshes
+                # (per-triangle lights; the power sampler handles the count).
+                from ..scenes.meshes import icosphere
+
+                tris = icosphere(2, r * sc, center)
+                self._emit_triangles(tris)
+                return
             self.spheres.append([*center, r * sc])
             self.sph_mat.append(self.cur_material)
-            if self.cur_area_light is not None:
-                self.warnings.append("sphere area lights not yet supported")
             return
         elif stype == "disk":
             # Tessellated analytic disk (z-plane, radius/innerradius/height).
@@ -565,7 +571,31 @@ class PbrtParser:
             local = np.asarray(tris, np.float32).reshape(-1, 3)
             world = self._pts(local).reshape(-1, 3, 3)
             tris = world
-        elif stype in ("bilinearmesh", "curve"):
+        elif stype == "bilinearmesh":
+            # Tessellate each bilinear patch on a 4x4 grid (exact for planar
+            # quads; curved patches approximated — analytic Reshetov
+            # intersection is a later tier).
+            pts = _get_vec(p, "P").reshape(-1, 4, 3)
+            tris = []
+            k = 4
+            for quad in pts:
+                p00, p10, p01, p11 = quad
+                for i in range(k):
+                    for j in range(k):
+                        def bl(u, v):
+                            return (
+                                (1 - u) * (1 - v) * p00 + u * (1 - v) * p10
+                                + (1 - u) * v * p01 + u * v * p11
+                            )
+                        a = bl(i / k, j / k)
+                        bq = bl((i + 1) / k, j / k)
+                        c = bl((i + 1) / k, (j + 1) / k)
+                        dq = bl(i / k, (j + 1) / k)
+                        tris.append([a, bq, c])
+                        tris.append([a, c, dq])
+            world = self._pts(np.asarray(tris, np.float32).reshape(-1, 3))
+            tris = world.reshape(-1, 3, 3)
+        elif stype == "curve":
             self.warnings.append(f"shape {stype} not yet supported; skipped")
             return
         else:

@@ -157,3 +157,42 @@ end_header
     assert v.shape == (4, 3)
     # Quad fanned into 2 triangles.
     np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3]])
+
+
+def test_emissive_sphere_and_bilinear_patch():
+    text = """
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "diffuse" "rgb L" [1 1 1] "float scale" [5]
+      Translate 0 2 0
+      Shape "sphere" "float radius" [0.3]
+    AttributeEnd
+    Shape "bilinearmesh"
+        "point3 P" [ -1 0 -1   1 0 -1   -1 0 1   1 0.4 1 ]
+    WorldEnd
+    """
+    scene, _, _ = load_pbrt_string(text)
+    # Icosphere(2) = 320 triangles, all emissive; patch adds 32 triangles.
+    assert scene.lights.n_area == 320
+    assert scene.geom.num_triangles == 320 + 32
+    # Sphere triangles centered near (0, 2, 0) with radius ~0.3.
+    v = np.asarray(scene.geom.tri_verts[:320]).reshape(-1, 3)
+    r = np.linalg.norm(v - np.array([0, 2, 0]), axis=1)
+    np.testing.assert_allclose(r, 0.3, atol=0.02)
+    # It renders: light the floor patch from the sphere.
+    from pbrt_tpu.models.path import PathIntegrator
+    from pbrt_tpu.render import render
+    from pbrt_tpu.cameras.perspective import PerspectiveCamera
+    from pbrt_tpu.core.transform import Transform
+    import pbrt_tpu.core.transform as tfm
+
+    cam = PerspectiveCamera(
+        camera_to_world=tfm.look_at((0, 1.5, -4), (0, 0.5, 0), (0, 1, 0)),
+        resolution=(16, 16), fov_deg=50.0,
+    )
+    img = np.asarray(
+        render(scene, cam, PathIntegrator(max_depth=3), spp=4,
+               samples_per_pass=2)
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-4
