@@ -36,6 +36,7 @@ from ..materials.buffers import (
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
+    MAT_DIFFUSETRANS,
     MAT_THINDIELECTRIC,
     MaterialBuffers,
 )
@@ -349,12 +350,17 @@ class PbrtParser:
         refl = _get_vec(p, "reflectance")
         if refl is None:
             refl = _get_vec(p, "albedo")
-        if mtype in ("diffuse", "diffusetransmission", "subsurface", "matte"):
+        if mtype in ("diffuse", "subsurface", "matte"):
             spec["kind"] = MAT_DIFFUSE
             if mtype != "diffuse":
                 self.warnings.append(
                     f"material {mtype} approximated as diffuse"
                 )
+        elif mtype == "diffusetransmission":
+            spec["kind"] = MAT_DIFFUSETRANS
+            t = _get_vec(p, "transmittance")
+            if t is not None and len(np.atleast_1d(t)) == 3:
+                spec["transmittance"] = tuple(np.asarray(t, float))
         elif mtype == "coateddiffuse":
             spec["kind"] = MAT_COATEDDIFFUSE
             spec["roughness"] = float(_get(p, "roughness", 0.1) or 0.1)

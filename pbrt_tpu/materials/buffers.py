@@ -24,6 +24,7 @@ MAT_DIELECTRIC = 2
 MAT_THINDIELECTRIC = 3
 MAT_COATEDDIFFUSE = 4
 MAT_COATEDCONDUCTOR = 5
+MAT_DIFFUSETRANS = 6
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -47,10 +48,12 @@ class MaterialBuffers:
     cond_k_scale: jnp.ndarray  # (M,)
     albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
     coat_roughness: jnp.ndarray  # (M,) coating GGX roughness (coated kinds)
+    trans_coeffs: jnp.ndarray  # (M, 3) transmittance sigmoid coeffs (diffusetrans)
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
     any_coated: bool = static_field(default=False)
+    any_diffusetrans: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -58,6 +61,7 @@ class MaterialBuffers:
         eta, conductor ("Cu"/"Au"/"Ag"/"Al" or (eta_rgb, k_rgb) pair)."""
         kinds, albedos, rough, eta, texids = [], [], [], [], []
         coat_rough = []
+        transs = []
         c_eta, c_k = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
@@ -66,6 +70,7 @@ class MaterialBuffers:
             eta.append(m.get("eta", 1.5))
             texids.append(m.get("albedo_texture", -1))
             coat_rough.append(m.get("coat_roughness", 0.05))
+            transs.append(m.get("transmittance", (0.25, 0.25, 0.25)))
             cond = m.get("conductor", "Cu")
             if isinstance(cond, str):
                 cond = CONDUCTOR_PRESETS[cond]
@@ -86,6 +91,9 @@ class MaterialBuffers:
             cond_k_scale=cks,
             albedo_tex=jnp.asarray(texids, jnp.int32),
             coat_roughness=jnp.asarray(coat_rough, jnp.float32),
+            trans_coeffs=rgb2spec.fit_albedo(
+                jnp.asarray(transs, jnp.float32)
+            ),
             any_conductor=any(
                 k in (MAT_CONDUCTOR, MAT_COATEDCONDUCTOR) for k in kinds
             ),
@@ -94,6 +102,7 @@ class MaterialBuffers:
             any_coated=any(
                 k in (MAT_COATEDDIFFUSE, MAT_COATEDCONDUCTOR) for k in kinds
             ),
+            any_diffusetrans=any(k == MAT_DIFFUSETRANS for k in kinds),
         )
 
     def gather(self, mat_idx):
@@ -117,6 +126,7 @@ class MaterialBuffers:
                 self.cond_k_scale[:, None],
                 self.albedo_tex.astype(f32)[:, None],
                 self.coat_roughness[:, None],
+                self.trans_coeffs,
             ],
             axis=1,
         )
@@ -132,8 +142,10 @@ class MaterialBuffers:
             "cond_k_scale": g[:, 13],
             "albedo_tex": jnp.round(g[:, 14]).astype(jnp.int32),
             "coat_roughness": g[:, 15],
+            "trans_coeffs": g[:, 16:19],
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,
             "any_coated": self.any_coated,
+            "any_diffusetrans": self.any_diffusetrans,
         }

@@ -30,6 +30,7 @@ from .buffers import (
     MAT_CONDUCTOR,
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
+    MAT_DIFFUSETRANS,
     MAT_THINDIELECTRIC,
 )
 
@@ -71,6 +72,28 @@ def diffuse_sample(albedo, wo, u2):
 def diffuse_pdf(wo, wi):
     same = _same_hemisphere(wo, wi)
     return jnp.where(same, cosine_hemisphere_pdf(_abscos(wi)), 0.0)
+
+
+# --- Diffuse transmission (bxdfs.h DiffuseTransmissionBxDF) -----------------
+
+
+def diffusetrans_f(refl, trans, wo, wi):
+    same = _same_hemisphere(wo, wi)
+    return jnp.where(same[..., None], refl, trans) * INV_PI
+
+
+def diffusetrans_pdf(wo, wi):
+    # Lobe chosen 50/50, cosine-distributed on each side.
+    return 0.5 * cosine_hemisphere_pdf(_abscos(wi))
+
+
+def diffusetrans_sample(refl, trans, wo, u2, uc):
+    wi = sample_cosine_hemisphere(u2)
+    side = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)
+    transmit = uc < 0.5
+    wi = wi.at[..., 2].multiply(jnp.where(transmit, -side, side))
+    f = diffusetrans_f(refl, trans, wo, wi)
+    return wi, f, diffusetrans_pdf(wo, wi)
 
 
 # --- Conductor (bxdfs.h:413) ------------------------------------------------
@@ -364,6 +387,13 @@ def evaluate(params, wo, wi, lam):
     if params["any_dielectric"]:
         f_d = dielectric_f(params["eta"], alpha, wo, wi)
         f = jnp.where((kind == MAT_DIELECTRIC)[..., None], f_d[..., None], f)
+    if params["any_diffusetrans"]:
+        trans = rgb2spec.eval_sigmoid(params["trans_coeffs"], lam)
+        f = jnp.where(
+            (kind == MAT_DIFFUSETRANS)[..., None],
+            diffusetrans_f(albedo, trans, wo, wi),
+            f,
+        )
     if params["any_coated"]:
         alpha_c = sc.roughness_to_alpha(params["coat_roughness"])
         alpha_c = jnp.maximum(alpha_c, 1e-3)
@@ -389,6 +419,8 @@ def pdf(params, wo, wi):
         p = jnp.where(
             kind == MAT_DIELECTRIC, dielectric_pdf(params["eta"], alpha, wo, wi), p
         )
+    if params["any_diffusetrans"]:
+        p = jnp.where(kind == MAT_DIFFUSETRANS, diffusetrans_pdf(wo, wi), p)
     if params["any_coated"]:
         alpha_c = jnp.maximum(
             sc.roughness_to_alpha(params["coat_roughness"]), 1e-3
@@ -431,6 +463,15 @@ def sample(params, wo, lam, u2, uc):
         f = jnp.where(m[..., None], f_d[..., None], f)
         p = jnp.where(m, p_d, p)
         specular = jnp.where(m, spec_d, specular)
+
+    if params["any_diffusetrans"]:
+        trans = rgb2spec.eval_sigmoid(params["trans_coeffs"], lam)
+        wi_dt, f_dt, p_dt = diffusetrans_sample(albedo, trans, wo, u2, uc)
+        m = kind == MAT_DIFFUSETRANS
+        wi = jnp.where(m[..., None], wi_dt, wi)
+        f = jnp.where(m[..., None], f_dt, f)
+        p = jnp.where(m, p_dt, p)
+        specular = jnp.where(m, False, specular)
 
     if params["any_coated"]:
         alpha_c = jnp.maximum(

@@ -265,3 +265,26 @@ def test_coated_diffuse():
     fab = np.asarray(bxdf.evaluate(p1, a, b, lam1))
     fba = np.asarray(bxdf.evaluate(p1, b, a, lam1))
     np.testing.assert_allclose(fab, fba, rtol=1e-4)
+
+
+def test_diffuse_transmission():
+    from pbrt_tpu.materials.buffers import MAT_DIFFUSETRANS
+
+    n = 100_000
+    params = _params(MAT_DIFFUSETRANS, n, albedo=(0.4, 0.4, 0.4),
+                     transmittance=(0.35, 0.35, 0.35))
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.2, 0.1, 0.95]), (n, 3)))
+    lam = _lam(n)
+    out = bxdf.sample(params, wo, lam, _u2(n), _uc(n))
+    wi = np.asarray(out["wi"])
+    # Both hemispheres reached ~50/50.
+    frac_trans = (wi[:, 2] < 0).mean()
+    assert 0.45 < frac_trans < 0.55, frac_trans
+    # sample/eval/pdf consistency.
+    f2 = np.asarray(bxdf.evaluate(params, wo, out["wi"], lam))
+    p2 = np.asarray(bxdf.pdf(params, wo, out["wi"]))
+    np.testing.assert_allclose(np.asarray(out["f"]), f2, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["pdf"]), p2, rtol=2e-3)
+    # Energy: total scattering = reflectance + transmittance.
+    w = np.asarray(out["f"]) * np.abs(wi[:, 2:3]) / np.asarray(out["pdf"])[:, None]
+    np.testing.assert_allclose(w.mean(), 0.75, atol=0.03)
