@@ -164,3 +164,17 @@ WorldEnd
     spec, schans, _ = read_exr(str(tmp_path / "o_spectral.exr"))
     assert len(schans) == 6
     assert np.isfinite(spec).all()
+
+
+def test_pspec_low_discrepancy_suppresses_low_frequencies():
+    from pbrt_tpu.tools.pspec import power_spectrum
+
+    res = 64
+    ps_ind = power_spectrum("independent", spp=128, n_sets=12, res=res)
+    ps_sob = power_spectrum("sobol", spp=128, n_sets=12, res=res)
+    yy, xx = np.mgrid[0:res, 0:res]
+    rad = np.hypot(yy - res // 2, xx - res // 2)
+    low_mask = (rad > 0) & (rad < res * 0.08)
+    # White noise: flat spectrum ~1; Sobol': strong low-frequency suppression.
+    assert 0.6 < ps_ind[low_mask].mean() < 1.5
+    assert ps_sob[low_mask].mean() < 0.35 * ps_ind[low_mask].mean()
