@@ -6,6 +6,10 @@ traversal, accel/bvh.py — reference implementation). Triangles route through
 it; spheres are always tested densely (scenes have few analytic quadrics).
 Mirrors the reference's Primitive aggregate dispatch (cpu/primitive.h)
 without the polymorphism.
+
+The cluster path builds the full Interaction from attributes selected inside
+the kernel (u, v, normal, mat, light) — zero XLA gathers on the hot
+closest-hit path (this backend lowers gathers per-element).
 """
 
 from __future__ import annotations
@@ -13,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.gather import gather_rows
+from ..core.vecmath import normalize
 from ..shapes.geometry import Interaction
 from . import dense
 from .bvh import bvh_intersect
@@ -20,40 +26,18 @@ from .bvh import bvh_intersect
 _INF = jnp.inf
 
 
-def _recompute_uv(geom, o, d, prim):
-    """Barycentrics for known hit triangles (one gathered Moller-Trumbore)."""
-    idx = jnp.clip(prim, 0, max(geom.num_triangles - 1, 0))
-    tv = geom.tri_verts[idx]
-    v0 = tv[:, 0]
-    e1 = tv[:, 1] - tv[:, 0]
-    e2 = tv[:, 2] - tv[:, 0]
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    valid = prim >= 0
-    return jnp.where(valid, u, 0.0), jnp.where(valid, v, 0.0)
-
-
-def _tri_best(scene, o, d, tmax, any_hit: bool):
-    """Triangle-only best-hit tuple via whichever accelerator is attached."""
-    interp = jax.default_backend() == "cpu"
-    if scene.clusters is not None:
-        from ..ops.cluster import cluster_intersect
-
-        t, prim = cluster_intersect(
-            scene.clusters, o, d, tmax, any_hit=any_hit, interpret=interp
-        )
-        if any_hit:
-            return t, prim, None, None
-        u, v = _recompute_uv(scene.geom, o, d, prim)
-        return t, prim, u, v
-    t, prim, u, v = bvh_intersect(scene.bvh, o, d, tmax, any_hit=any_hit)
-    t = jnp.where(prim >= 0, t, _INF)
-    return t, prim, u, v
+def _sphere_best(geom, o, d, tmax):
+    """Best sphere hit: (t, idx) with idx -1 on miss."""
+    sblk, _ = dense._sph_soa(geom.sph)
+    t_s = dense._intersect_sph_block(o, d, tmax, sblk)
+    t_s = jnp.where(
+        jnp.arange(t_s.shape[1])[None, :] < geom.num_spheres, t_s, _INF
+    )
+    arg = jnp.argmin(t_s, axis=1).astype(jnp.int32)
+    t = jnp.min(t_s, axis=1)
+    return jnp.where(jnp.isfinite(t), t, _INF), jnp.where(
+        jnp.isfinite(t), arg, -1
+    )
 
 
 def closest(scene, o, d, tmax=None) -> Interaction:
@@ -64,29 +48,77 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     n_rays = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n_rays,), _INF, o.dtype)
-    t, prim, u, v = _tri_best(scene, o, d, tmax, any_hit=False)
-    best = (t, prim, u, v)
+
+    if scene.clusters is not None:
+        from ..ops.cluster import cluster_intersect
+
+        interp = jax.default_backend() == "cpu"
+        res = cluster_intersect(
+            scene.clusters, o, d, tmax, any_hit=False, interpret=interp
+        )
+        t, prim = res["t"], res["prim"]
+        u, v, ng = res["u"], res["v"], res["n"]
+        mat, light = res["mat"], res["light"]
+    else:
+        t, prim, u, v = bvh_intersect(scene.bvh, o, d, tmax, any_hit=False)
+        t = jnp.where(prim >= 0, t, _INF)
+        n_tri = geom.num_triangles
+        tri_idx = jnp.clip(jnp.maximum(prim, 0), 0, max(n_tri - 1, 0))
+        tv = gather_rows(geom.tri_verts, tri_idx)
+        ng = normalize(
+            jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        )
+        mat = gather_rows(geom.tri_mat, tri_idx)
+        light = gather_rows(geom.tri_light, tri_idx)
 
     n_sph = geom.num_spheres
     if n_sph > 0:
-        sblk, _ = dense._sph_soa(geom.sph)
-        t_s = dense._intersect_sph_block(o, d, tmax, sblk)
-        t_s = jnp.where(
-            jnp.arange(t_s.shape[1])[None, :] < n_sph, t_s, _INF
+        t_s, s_idx = _sphere_best(geom, o, d, tmax)
+        sph_better = t_s < t
+        sph_safe = jnp.clip(jnp.maximum(s_idx, 0), 0, n_sph - 1)
+        sc = gather_rows(geom.sph, sph_safe)
+        p_s = o + t_s[:, None] * d
+        n_s = normalize(p_s - sc[:, :3])
+        t = jnp.where(sph_better, t_s, t)
+        prim = jnp.where(sph_better, geom.num_triangles + s_idx, prim)
+        u = jnp.where(sph_better, 0.0, u)
+        v = jnp.where(sph_better, 0.0, v)
+        ng = jnp.where(sph_better[:, None], n_s, ng)
+        mat = jnp.where(sph_better, gather_rows(geom.sph_mat, sph_safe), mat)
+        light = jnp.where(
+            sph_better, gather_rows(geom.sph_light, sph_safe), light
         )
-        zeros = jnp.zeros_like(t_s)
-        best = dense._fold_min(
-            best, t_s, zeros, zeros, jnp.int32(geom.num_triangles)
-        )
-    return dense.assemble_interaction(geom, o, d, best)
+
+    valid = prim >= 0
+    p = jnp.where(valid[:, None], o + t[:, None] * d, 0.0)
+    return Interaction(
+        valid=valid,
+        t=t,
+        p=p,
+        n=ng,
+        uv=jnp.stack([u, v], axis=-1),
+        wo=-d,
+        mat=jnp.where(valid, mat, 0),
+        light=jnp.where(valid, light, -1),
+        prim=prim,
+    )
 
 
 def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     geom = scene.geom
     if scene.bvh is None and getattr(scene, "clusters", None) is None:
         return dense.intersect_any(geom, o, d, tmax)
-    _, prim, _, _ = _tri_best(scene, o, d, tmax, any_hit=True)
-    occ = prim >= 0
+    if scene.clusters is not None:
+        from ..ops.cluster import cluster_intersect
+
+        interp = jax.default_backend() == "cpu"
+        res = cluster_intersect(
+            scene.clusters, o, d, tmax, any_hit=True, interpret=interp
+        )
+        occ = res["prim"] >= 0
+    else:
+        _, prim, _, _ = bvh_intersect(scene.bvh, o, d, tmax, any_hit=True)
+        occ = prim >= 0
     if geom.num_spheres > 0:
         sblk, _ = dense._sph_soa(geom.sph)
         t_s = dense._intersect_sph_block(o, d, tmax, sblk)

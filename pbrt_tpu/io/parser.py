@@ -358,13 +358,20 @@ class PbrtParser:
                 )
         elif mtype == "diffusetransmission":
             spec["kind"] = MAT_DIFFUSETRANS
+            # Reference defaults reflectance/transmittance to 0.25
+            # (materials.cpp DiffuseTransmissionMaterial::Create).
+            spec["albedo"] = (0.25, 0.25, 0.25)
             t = _get_vec(p, "transmittance")
             if t is not None and len(np.atleast_1d(t)) == 3:
                 spec["transmittance"] = tuple(np.asarray(t, float))
         elif mtype == "coateddiffuse":
             spec["kind"] = MAT_COATEDDIFFUSE
             spec["roughness"] = float(_get(p, "roughness", 0.1) or 0.1)
-            spec["coat_roughness"] = float(_get(p, "roughness", 0.05) or 0.05)
+            # Coat lobe roughness comes from interface.roughness (as in the
+            # reference CoatedDiffuseMaterial), not the base 'roughness'.
+            spec["coat_roughness"] = float(
+                _get(p, "interface.roughness", 0.05) or 0.05
+            )
         elif mtype == "coatedconductor":
             spec["kind"] = MAT_COATEDCONDUCTOR
             spec["roughness"] = float(
@@ -581,7 +588,14 @@ class PbrtParser:
             # Tessellate each bilinear patch on a 4x4 grid (exact for planar
             # quads; curved patches approximated — analytic Reshetov
             # intersection is a later tier).
-            pts = _get_vec(p, "P").reshape(-1, 4, 3)
+            pts = _get_vec(p, "P").reshape(-1, 3)
+            idx = _get_vec(p, "indices")
+            if idx is not None:
+                # Indexed quads with shared vertices (shapes.cpp
+                # BilinearPatch::CreateMesh): gather (nq, 4, 3).
+                pts = pts[np.asarray(idx, np.int64).reshape(-1, 4)]
+            else:
+                pts = pts.reshape(-1, 4, 3)
             tris = []
             k = 4
             for quad in pts:

@@ -67,16 +67,21 @@ class LightPathIntegrator:
         # ---- Emission sampling (DiffuseAreaLight::SampleLe analogue).
         u_sel = sampler.get_1d(path_id, sample_idx, 1000)
         na = lights.n_area
+        # Emission sampling draws from AREA lights only, so renormalize the
+        # scene selection pmf over the first n_area entries (the full-scene
+        # cdf truncated at na ends below 1 when other light types exist,
+        # which would bias all leftover mass onto the last area light).
+        pmf_area = lights.select_pmf[:na]
+        pmf_area = pmf_area / jnp.maximum(jnp.sum(pmf_area), 1e-12)
+        cdf_area = jnp.cumsum(pmf_area)
         idx = jnp.minimum(
             jnp.sum(
-                (lights.select_cdf[None, :na] <= u_sel[..., None]).astype(
-                    jnp.int32
-                ),
+                (cdf_area[None, :] <= u_sel[..., None]).astype(jnp.int32),
                 axis=-1,
             ),
             na - 1,
         )
-        pmf = gather_rows(lights.select_pmf[:na], idx)
+        pmf = gather_rows(pmf_area, idx)
         verts = gather_rows(lights.area_verts, idx)
         up0, up1 = sampler.get_2d(path_id, sample_idx, 1001)
         b = sample_uniform_triangle(jnp.stack([up0, up1], -1))

@@ -13,7 +13,14 @@ replacing pointer chasing with two vector-friendly phases:
      is tested densely: (8 rays x 128 triangles) Moller-Trumbore per
      sub-group, triangle components loaded as contiguous (1, 128) rows.
      Closest-hit selection avoids per-lane gathers with a min-reduce plus an
-     equality-masked max-reduce over bitcast primitive ids.
+     equality-masked max-reduce over float-encoded primitive ids — and the
+     same masked reduce selects the hit's u, v, geometric normal, material
+     and light ids IN the kernel, so closest-hit assembly needs zero XLA
+     gathers (this backend lowers gathers per-element, ~3 ms / 64k rows).
+
+Shadow (any-hit) rays run a cut-down mode: no attribute selection, and a
+ray's t_best collapses to 0 on its first hit so every later cluster fails
+the (tmin < t_best) gate for that ray — early-out without divergence.
 
 No gathers, no per-ray stacks; worst case degrades to the dense tester,
 best case skips all non-overlapping clusters. Ray tiles are 1024 rays
@@ -54,17 +61,32 @@ class ClusterAccel:
     e2y: jnp.ndarray
     e2z: jnp.ndarray
     pid: jnp.ndarray  # (C, 128) float32 prim id + 1 (0.0 = pad slot)
+    # Per-triangle hit attributes, cluster-major (C, 128): unit geometric
+    # normal components and float-encoded material / light ids (id + 1).
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    matf: jnp.ndarray
+    lightf: jnp.ndarray
     # Cluster AABB rows: (C, 8) = [lox loy loz hix hiy hiz 0 0].
     boxes: jnp.ndarray
     n_clusters: int = static_field(default=0)
 
 
-def build_clusters(tri_verts: np.ndarray) -> ClusterAccel:
-    """Morton-sort triangles; pack 128-triangle clusters + AABBs."""
+def build_clusters(
+    tri_verts: np.ndarray,
+    tri_mat: np.ndarray | None = None,
+    tri_light: np.ndarray | None = None,
+) -> ClusterAccel:
+    """Morton-sort triangles; pack 128-triangle clusters + AABBs + attrs."""
     from ..accel.bvh import _morton3
 
     tri_verts = np.asarray(tri_verts, np.float32)
     t = tri_verts.shape[0]
+    if tri_mat is None:
+        tri_mat = np.zeros((t,), np.int32)
+    if tri_light is None:
+        tri_light = np.full((t,), -1, np.int32)
     cent = tri_verts.mean(axis=1)
     lo = cent.min(axis=0)
     hi = cent.max(axis=0)
@@ -89,9 +111,19 @@ def build_clusters(tri_verts: np.ndarray) -> ClusterAccel:
 
     e1 = vp[:, :, 1] - vp[:, :, 0]
     e2 = vp[:, :, 2] - vp[:, :, 0]
+    # Geometric normals (winding orientation), zero on pad slots.
+    nrm = np.cross(e1.reshape(p, 3), e2.reshape(p, 3))
+    nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = np.where(nlen > 1e-30, nrm / np.maximum(nlen, 1e-30), 0.0)
+    nrm = np.where((pid >= 0)[:, None], nrm, 0.0).astype(np.float32)
+    nrm = nrm.reshape(c, _CLUSTER, 3)
     # Float id encoding: id+1 (exact for < 2^24 triangles); 0.0 = pad.
     # (A bitcast encoding would hit denormal flush-to-zero on TPU.)
     pid_f = (pid + 1).astype(np.float32).reshape(c, _CLUSTER)
+    matp = np.zeros((p,), np.int64)
+    matp[:t] = np.asarray(tri_mat, np.int64)[order]
+    lightp = np.full((p,), -1, np.int64)
+    lightp[:t] = np.asarray(tri_light, np.int64)[order]
     return ClusterAccel(
         v0x=jnp.asarray(vp[:, :, 0, 0]),
         v0y=jnp.asarray(vp[:, :, 0, 1]),
@@ -103,6 +135,11 @@ def build_clusters(tri_verts: np.ndarray) -> ClusterAccel:
         e2y=jnp.asarray(e2[..., 1]),
         e2z=jnp.asarray(e2[..., 2]),
         pid=jnp.asarray(pid_f.copy()),
+        nx=jnp.asarray(nrm[..., 0]),
+        ny=jnp.asarray(nrm[..., 1]),
+        nz=jnp.asarray(nrm[..., 2]),
+        matf=jnp.asarray((matp + 1).astype(np.float32).reshape(c, _CLUSTER)),
+        lightf=jnp.asarray((lightp + 1).astype(np.float32).reshape(c, _CLUSTER)),
         boxes=jnp.asarray(boxes),
         n_clusters=c,
     )
@@ -113,8 +150,9 @@ def _cluster_kernel(
     v0x_ref, v0y_ref, v0z_ref,
     e1x_ref, e1y_ref, e1z_ref,
     e2x_ref, e2y_ref, e2z_ref, pid_ref,
+    nx_ref, ny_ref, nz_ref, matf_ref, lightf_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-    t_out, prim_out,
+    t_out, prim_out, u_out, v_out, n0_out, n1_out, n2_out, mat_out, light_out,
     *,
     n_clusters: int,
     any_hit: bool,
@@ -127,9 +165,11 @@ def _cluster_kernel(
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
     tmax = tmax_ref[:]
 
+    n_attr = 7  # u, v, nx, ny, nz, mat, light
+
     # ---- Per-cluster: vectorized AABB gate, then dense triangle test.
     def cluster_body(c, carry):
-        t_best, prim = carry
+        t_best, prim, attrs = carry
         lox = boxes_ref[c, 0]
         loy = boxes_ref[c, 1]
         loz = boxes_ref[c, 2]
@@ -153,7 +193,7 @@ def _cluster_kernel(
         m = jnp.any((tmx >= tmin) & (tmin < t_best))
 
         def test(args):
-            t_best, prim = args
+            t_best, prim, attrs = args
             v0x = v0x_ref[pl.ds(c, 1), :]  # (1, 128)
             v0y = v0y_ref[pl.ds(c, 1), :]
             v0z = v0z_ref[pl.ds(c, 1), :]
@@ -164,8 +204,18 @@ def _cluster_kernel(
             e2y = e2y_ref[pl.ds(c, 1), :]
             e2z = e2z_ref[pl.ds(c, 1), :]
             pid = pid_ref[pl.ds(c, 1), :]
+            if not any_hit:
+                attr_rows = [
+                    None, None,  # u, v computed per sub-group
+                    nx_ref[pl.ds(c, 1), :],
+                    ny_ref[pl.ds(c, 1), :],
+                    nz_ref[pl.ds(c, 1), :],
+                    matf_ref[pl.ds(c, 1), :],
+                    lightf_ref[pl.ds(c, 1), :],
+                ]
             t_cols = []
             p_cols = []
+            a_cols = [[] for _ in range(n_attr)]
             for rg in range(_SUB):
                 oxg = ox[:, rg : rg + 1]
                 oyg = oy[:, rg : rg + 1]
@@ -196,6 +246,20 @@ def _cluster_kernel(
                     & (tk > 0.0)
                     & (tk < tb)
                 )
+                if any_hit:
+                    # First hit wins: collapse t to 0 so later clusters
+                    # fail the (tmin < t_best) gate for this ray.
+                    got = jnp.any(hit, axis=1, keepdims=True)  # (8, 1)
+                    t_cols.append(jnp.where(got, 0.0, tb))
+                    p_cols.append(
+                        jnp.where(
+                            got,
+                            jnp.max(jnp.where(hit, pid, 0.0), axis=1,
+                                    keepdims=True),
+                            prim[:, rg : rg + 1],
+                        )
+                    )
+                    continue
                 tkh = jnp.where(hit, tk, _BIG)
                 tmin_new = jnp.min(tkh, axis=1, keepdims=True)  # (8,1)
                 better = tmin_new < tb
@@ -203,30 +267,59 @@ def _cluster_kernel(
                 pid_sel = jnp.max(
                     jnp.where(eq, pid, 0.0), axis=1, keepdims=True
                 )
+                # Resolve exact-t ties to ONE triangle so every attribute
+                # comes from the same primitive.
+                eq1 = eq & (pid == pid_sel)
                 t_cols.append(jnp.where(better, tmin_new, tb))
                 p_cols.append(
                     jnp.where(better, pid_sel, prim[:, rg : rg + 1])
                 )
+                for ai in range(n_attr):
+                    row = (uk, vk)[ai] if ai < 2 else attr_rows[ai]
+                    sel = jnp.sum(
+                        jnp.where(eq1, row, 0.0), axis=1, keepdims=True
+                    )
+                    a_cols[ai].append(
+                        jnp.where(better, sel, attrs[ai][:, rg : rg + 1])
+                    )
+            new_attrs = attrs if any_hit else tuple(
+                jnp.concatenate(a_cols[ai], axis=1) for ai in range(n_attr)
+            )
             return (
                 jnp.concatenate(t_cols, axis=1),
                 jnp.concatenate(p_cols, axis=1),
+                new_attrs,
             )
 
-        return jax.lax.cond(m, test, lambda a: a, (t_best, prim))
+        return jax.lax.cond(m, test, lambda a: a, (t_best, prim, attrs))
 
     t_best = tmax
     prim = jnp.zeros_like(tmax)
-    t_best, prim = jax.lax.fori_loop(
-        0, n_clusters, cluster_body, (t_best, prim)
+    attrs = tuple(jnp.zeros_like(tmax) for _ in range(n_attr))
+    t_best, prim, attrs = jax.lax.fori_loop(
+        0, n_clusters, cluster_body, (t_best, prim, attrs)
     )
     t_out[:] = t_best
     prim_out[:] = prim
+    u_out[:] = attrs[0]
+    v_out[:] = attrs[1]
+    n0_out[:] = attrs[2]
+    n1_out[:] = attrs[3]
+    n2_out[:] = attrs[4]
+    mat_out[:] = attrs[5]
+    light_out[:] = attrs[6]
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
                       interpret: bool = False):
-    """Returns (t, prim_id) per ray; prim_id == -1 on miss (t == tmax then)."""
+    """Full hit query.
+
+    Returns a dict with per-ray 't', 'prim' (int32, -1 = miss) and, for
+    closest-hit mode, 'u', 'v', 'n' (N, 3 geometric normal), 'mat', 'light'
+    (int32 ids, light -1 = none) — all selected inside the kernel.
+    For any_hit mode only 't'/'prim' are meaningful (prim >= 0 = occluded).
+    """
     n = o.shape[0]
     pad = (-n) % _TILE
     npad = n + pad
@@ -249,13 +342,13 @@ def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
     kernel = functools.partial(
         _cluster_kernel, n_clusters=accel.n_clusters, any_hit=any_hit
     )
-    t, prim_f = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[full] * 11 + [ray_spec] * 7,
-        out_specs=[ray_spec] * 2,
+        in_specs=[full] * 16 + [ray_spec] * 7,
+        out_specs=[ray_spec] * 9,
         out_shape=[
-            jax.ShapeDtypeStruct((8, npad // 8), jnp.float32) for _ in range(2)
+            jax.ShapeDtypeStruct((8, npad // 8), jnp.float32) for _ in range(9)
         ],
         interpret=interpret,
     )(
@@ -263,15 +356,27 @@ def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
         accel.v0x, accel.v0y, accel.v0z,
         accel.e1x, accel.e1y, accel.e1z,
         accel.e2x, accel.e2y, accel.e2z, accel.pid,
+        accel.nx, accel.ny, accel.nz, accel.matf, accel.lightf,
         ox, oy, oz, dx, dy, dz, tm,
     )
 
     def uncomp(x):
         return x.reshape(8, npad // 8).T.reshape(npad)[:n]
 
-    t = uncomp(t)
-    prim_f = uncomp(prim_f)
+    t, prim_f, u, v, n0, n1, n2, matf, lightf = (uncomp(x) for x in outs)
     miss = prim_f <= 0.0
     prim = jnp.where(miss, -1, prim_f.astype(jnp.int32) - 1)
+    if any_hit:
+        t = jnp.where(miss, jnp.inf, t)
+        return {"t": t, "prim": prim}
     t = jnp.where(miss, jnp.inf, t)
-    return t, prim
+    z = jnp.zeros_like(u)
+    return {
+        "t": t,
+        "prim": prim,
+        "u": jnp.where(miss, z, u),
+        "v": jnp.where(miss, z, v),
+        "n": jnp.stack([n0, n1, n2], axis=-1),
+        "mat": jnp.where(miss, 0, matf.astype(jnp.int32) - 1),
+        "light": jnp.where(miss, -1, lightf.astype(jnp.int32) - 1),
+    }

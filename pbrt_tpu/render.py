@@ -99,10 +99,13 @@ def render(
     """
     from .samplers.samplers import Sampler
 
+    res_nx, res_ny = camera.resolution
     sampler = Sampler(
         seed=jnp.asarray(seed, jnp.int32),
         kind=sampler_kind,
         spp=total_spp or spp,
+        nx=res_nx,
+        log2_res=max(1, (max(res_nx, res_ny) - 1).bit_length()),
     )
     filt = None
     if filter_kind != "box":
@@ -130,8 +133,20 @@ def render(
             scene, o, d, wl, pixel_b, sample_b, sampler
         )
         rgb = spectrum_to_rgb(radiance, wl) * w[:, None]  # (k*npix, 3)
-        rgb_img = jnp.mean(rgb.reshape(k, ny, nx, 3), axis=0)
-        return film.add_sample_image(rgb_img)
+        # NaN/Inf sample quarantine: drop non-finite samples (value AND
+        # weight), as the reference does per-sample in Film::AddSample
+        # (cpu/integrators.cpp:264-274) — one bad ray must not poison its
+        # pixel forever.
+        finite = jnp.all(jnp.isfinite(rgb), axis=-1)
+        rgb = jnp.where(finite[:, None], rgb, 0.0)
+        rgb_img = jnp.sum(rgb.reshape(k, ny, nx, 3), axis=0) / k
+        w_img = jnp.mean(finite.astype(rgb.dtype).reshape(k, ny, nx), axis=0)
+        rgb_img = jnp.where(
+            w_img[..., None] > 0.0,
+            rgb_img / jnp.maximum(w_img, 1e-12)[..., None],
+            0.0,
+        )
+        return film.add_sample_image(rgb_img, w_img)
 
     film = RGBFilm.zeros((nx, ny))
     film = jax.lax.fori_loop(0, n_passes, one_pass, film)
@@ -157,6 +172,8 @@ def render_chunked(
     chunk_spp = max(samples_per_pass, chunk_spp - chunk_spp % samples_per_pass)
     imgs = []
     done = 0
+    import math
+
     while done < spp:
         cur = min(chunk_spp, spp - done)
         imgs.append(
@@ -164,7 +181,9 @@ def render_chunked(
                 scene, camera, integrator,
                 spp=cur,
                 seed=seed,
-                samples_per_pass=min(samples_per_pass, cur),
+                # Tail chunks may not divide by samples_per_pass; shrink to
+                # the gcd so render()'s divisibility invariant always holds.
+                samples_per_pass=math.gcd(samples_per_pass, cur),
                 sample_offset=done,
                 total_spp=spp,
                 **kw,

@@ -46,5 +46,9 @@ class Scene:
         if self.geom.num_triangles <= threshold:
             return self
         return self.replace(
-            clusters=build_clusters(np.asarray(self.geom.tri_verts))
+            clusters=build_clusters(
+                np.asarray(self.geom.tri_verts),
+                np.asarray(self.geom.tri_mat),
+                np.asarray(self.geom.tri_light),
+            )
         )

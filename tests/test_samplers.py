@@ -5,7 +5,8 @@ lowdiscrepancy tests; pspec-style spectral analysis comes later.)"""
 import numpy as np
 import jax.numpy as jnp
 
-from pbrt_tpu.samplers.samplers import Sampler, _sobol_dim0, _sobol_dim1
+from pbrt_tpu.samplers.samplers import Sampler, _sobol_dim0
+from pbrt_tpu.samplers.sobol import sobol_bits
 
 
 def _variance_of_pixel_means(kind, f, spp=16, n_pixels=256, dim=6):
@@ -20,7 +21,11 @@ def _variance_of_pixel_means(kind, f, spp=16, n_pixels=256, dim=6):
 def test_sobol_first_dims_are_sobol():
     idx = jnp.arange(8, dtype=jnp.uint32)
     d0 = np.asarray(_sobol_dim0(idx)) / 2.0**32
-    d1 = np.asarray(_sobol_dim1(idx)) / 2.0**32
+    d1 = np.asarray(sobol_bits(idx, 1)) / 2.0**32
+    # dim 0 via the Joe-Kuo matrices must equal the analytic bit reversal.
+    np.testing.assert_array_equal(
+        np.asarray(sobol_bits(idx, 0)), np.asarray(_sobol_dim0(idx))
+    )
     np.testing.assert_allclose(
         d0, [0.0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875]
     )
@@ -53,15 +58,52 @@ def test_stratified_covers_strata():
 
 
 def test_sobol_pair_is_stratified():
-    """The per-pixel 16-point Sobol' pair must be a (0,m,2)-net: exactly one
-    point per 4x4 sub-square."""
+    """The per-pixel 16-point Sobol' (dim0, dim1) pair must be a (0,m,2)-net:
+    exactly one point in EVERY elementary interval of area 1/16."""
     spp = 16
     s = Sampler.create("sobol", spp=spp, seed=5)
     pix = jnp.full((spp,), 37, jnp.int32)
     sample = jnp.arange(spp, dtype=jnp.int32)
-    u0, u1 = s.get_2d(pix, sample, jnp.int32(8))
-    cells = (np.asarray(u0) * 4).astype(int) * 4 + (np.asarray(u1) * 4).astype(int)
-    np.testing.assert_array_equal(np.sort(cells), np.arange(16))
+    u0, u1 = s.get_2d(pix, sample, jnp.int32(0))
+    u0, u1 = np.asarray(u0), np.asarray(u1)
+    for kx in range(5):
+        nx, ny = 1 << kx, 1 << (4 - kx)
+        cells = (u0 * nx).astype(int) * ny + (u1 * ny).astype(int)
+        np.testing.assert_array_equal(np.sort(cells), np.arange(16), err_msg=f"{nx}x{ny}")
+
+
+def test_sobol_high_dims_stratify():
+    """Every Sobol' dimension (not just 0/1) is a (0,1)-sequence in base 2:
+    the first 32 points land one per 1/32 stratum — the low-discrepancy
+    property the round-1 padded sampler lacked above dim 1."""
+    spp = 32
+    s = Sampler.create("sobol", spp=spp, seed=9)
+    pix = jnp.full((spp,), 11, jnp.int32)
+    sample = jnp.arange(spp, dtype=jnp.int32)
+    for dim in (2, 3, 7, 19, 40, 101, 255):
+        u = np.asarray(s.get_1d(pix, sample, jnp.int32(dim)))
+        strata = np.sort((u * spp).astype(int))
+        np.testing.assert_array_equal(strata, np.arange(spp), err_msg=str(dim))
+
+
+def test_zsobol_stratifies_and_renders():
+    spp = 16
+    s = Sampler.create("zsobol", spp=spp, seed=4, nx=64, log2_res=6)
+    sample = jnp.arange(spp, dtype=jnp.int32)
+    for pixid in (0, 37, 63 * 64 + 5):
+        pix = jnp.full((spp,), pixid, jnp.int32)
+        u = np.asarray(s.get_1d(pix, sample, jnp.int32(5)))
+        strata = np.sort((u * spp).astype(int))
+        np.testing.assert_array_equal(strata, np.arange(spp), err_msg=str(pixid))
+        u0, u1 = s.get_2d(pix, sample, jnp.int32(3))
+        cells = (np.asarray(u0) * 4).astype(int) * 4 + (
+            np.asarray(u1) * 4
+        ).astype(int)
+        np.testing.assert_array_equal(np.sort(cells), np.arange(16))
+    # Distinct pixels decorrelate.
+    a = np.asarray(s.get_1d(jnp.full((spp,), 1, jnp.int32), sample, jnp.int32(5)))
+    b = np.asarray(s.get_1d(jnp.full((spp,), 2, jnp.int32), sample, jnp.int32(5)))
+    assert np.abs(a - b).max() > 0.05
 
 
 def test_qmc_variance_reduction():
@@ -95,7 +137,8 @@ def test_render_with_each_sampler():
     scene, camera = cornell_box(resolution=(16, 16))
     integ = PathIntegrator(max_depth=3)
     means = {}
-    for kind in ("independent", "stratified", "sobol"):
+    for kind in ("independent", "stratified", "sobol", "zsobol", "halton",
+                 "padded"):
         img = np.asarray(
             render(scene, camera, integ, spp=16, samples_per_pass=4,
                    sampler_kind=kind)
@@ -108,11 +151,13 @@ def test_render_with_each_sampler():
 
 
 def test_halton_sampler():
+    # True per-dimension primes: dim 0 -> base 2, dim 1 -> base 3,
+    # dim 2 -> base 5 (ref HaltonSampler, samplers.h:53).
     s = Sampler.create("halton", spp=16, seed=2)
     pix = jnp.zeros((16,), jnp.int32)
     sample = jnp.arange(16, dtype=jnp.int32)
-    u0, u1 = s.get_2d(pix, sample, jnp.int32(8))
-    u0, u1 = np.asarray(u0), np.asarray(u1)
+    u0 = np.asarray(s.get_1d(pix, sample, jnp.int32(0)))
+    u1 = np.asarray(s.get_1d(pix, sample, jnp.int32(1)))
     assert (0 <= u0).all() and (u0 < 1).all()
     assert (0 <= u1).all() and (u1 < 1).all()
     # Base-2 component of 16 consecutive samples is perfectly stratified.
@@ -121,9 +166,17 @@ def test_halton_sampler():
     # Base-3 component: each third contains at least 4 of 16.
     thirds = np.bincount((u1 * 3).astype(int), minlength=3)
     assert thirds.min() >= 4
-    # Variance reduction vs independent on a smooth integrand.
+    # Base-5 component: 25 consecutive samples stratify into 5 fifths of 5
+    # (the affine digit permutation preserves base-5 stratification).
+    s25 = Sampler.create("halton", spp=25, seed=2)
+    pix25 = jnp.zeros((25,), jnp.int32)
+    sample25 = jnp.arange(25, dtype=jnp.int32)
+    u2 = np.asarray(s25.get_1d(pix25, sample25, jnp.int32(2)))
+    fifths = np.bincount((u2 * 5).astype(int), minlength=5)
+    np.testing.assert_array_equal(fifths, np.full(5, 5))
+    # Variance reduction vs independent on a smooth integrand (bases 2/3).
     f = lambda a, b: jnp.sin(3 * a) * b + a * a
-    v_h, m_h = _variance_of_pixel_means("halton", f)
-    v_i, m_i = _variance_of_pixel_means("independent", f)
-    assert abs(m_h - m_i) < 0.01
+    v_h, m_h = _variance_of_pixel_means("halton", f, dim=0)
+    v_i, m_i = _variance_of_pixel_means("independent", f, dim=0)
+    assert abs(m_h - m_i) < 0.02
     assert v_h < 0.5 * v_i, (v_h, v_i)
