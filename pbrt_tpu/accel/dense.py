@@ -118,16 +118,26 @@ def _intersect_sph_block(o, d, tmax, blk):
 
 
 def _fold_min(best, t_blk, u_blk, v_blk, block_base):
-    """Fold a block's per-ray minima into the running (t, idx, u, v)."""
-    arg = jnp.argmin(t_blk, axis=1).astype(jnp.int32)
-    n = jnp.arange(t_blk.shape[0])
-    t_new = t_blk[n, arg]
+    """Fold a block's per-ray minima into the running (t, idx, u, v).
+
+    Gather-free: per-row argmin + fancy indexing (t_blk[n, arg]) lowers to
+    per-element gathers on this backend (~3 ms / 64k rows); a min-reduce
+    plus equality-masked reduces does the same selection in pure vector ops.
+    """
+    t_new = jnp.min(t_blk, axis=1)
+    cols = jnp.arange(t_blk.shape[1], dtype=jnp.int32)[None, :]
+    eq = t_blk == t_new[:, None]
+    # Resolve ties to ONE column (the largest index) so u/v stay paired.
+    arg = jnp.max(jnp.where(eq, cols, -1), axis=1)
+    one = eq & (cols == arg[:, None])
+    u_new = jnp.sum(jnp.where(one, u_blk, 0.0), axis=1)
+    v_new = jnp.sum(jnp.where(one, v_blk, 0.0), axis=1)
     better = t_new < best[0]
     return (
         jnp.where(better, t_new, best[0]),
         jnp.where(better, block_base + arg, best[1]),
-        jnp.where(better, u_blk[n, arg], best[2]),
-        jnp.where(better, v_blk[n, arg], best[3]),
+        jnp.where(better, u_new, best[2]),
+        jnp.where(better, v_new, best[3]),
     )
 
 

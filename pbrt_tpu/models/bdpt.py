@@ -1,0 +1,565 @@
+"""Bidirectional path tracing as fixed-size vertex tensors + static strategies.
+
+Reference analogue: BDPTIntegrator (/root/reference/src/pbrt/cpu/
+integrators.h:343, integrators.cpp:2218-3024). The C++ builds per-thread
+vertex arrays with dynamic lengths and walks them with data-dependent loops;
+here both subpaths are fixed-length SOA tensors (N paths x V vertices) built
+by lax.scan, and every (s, t) connection strategy is unrolled at trace time
+(s, t are static), so the whole estimator is one straight-line XLA program.
+MIS weights use the reference's pdfFwd/pdfRev area-density bookkeeping
+(integrators.cpp MISWeight, :2541-2613), with the per-strategy endpoint
+remaps computed from the stored vertex tensors.
+
+Scope (v1): perspective pinhole camera; area lights (the reference handles
+infinite/delta lights in BDPT too — later tier). Shading normals equal
+geometric normals, so the light-transport adjoint correction is identity.
+
+Estimator layout (matches the reference's film accounting): strategies with
+t >= 2 accumulate into the path's own pixel; t == 1 strategies splat onto a
+shared film image normalized by total path count — the same split pbrt makes
+between L and SplatFilm contributions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import api as accel_api
+from ..accel.dense import offset_ray_origin
+from ..core.pytree import pytree, static_field
+from ..core.sampling import sample_cosine_hemisphere, sample_uniform_triangle
+from ..core.vecmath import coordinate_system, dot, from_local, normalize, to_local
+from ..lights.buffers import eval_emission
+from ..core.gather import gather_rows
+from ..materials import bxdf
+
+_EPS = 1e-20
+_INV_PI = 1.0 / jnp.pi
+
+
+def _remap0(x):
+    """MIS ratio helper: treat 0 densities as 1 (reference integrators.cpp
+    remap0) so delta/impossible segments drop out of the ratio products."""
+    return jnp.where(x > 0.0, x, 1.0)
+
+
+def _dist2(a, b):
+    d = b - a
+    return jnp.sum(d * d, axis=-1)
+
+
+def _dir_to(a, b):
+    d = b - a
+    return d / jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1, keepdims=True), _EPS))
+
+
+def _to_area(pdf_w, p_from, p_to, n_to):
+    """Solid-angle density at p_from -> area density at p_to (Vertex::
+    ConvertDensity, integrators.cpp)."""
+    d2 = _dist2(p_from, p_to)
+    w = _dir_to(p_from, p_to)
+    cos_t = jnp.abs(dot(n_to, w))
+    return pdf_w * cos_t / jnp.maximum(d2, _EPS)
+
+
+def _bsdf_pdf_area(params, ns, t1, t2, p_self, d_in_world, p_target, n_target):
+    """Area density that the vertex (params, frame) scatters the incoming
+    direction d_in_world (pointing INTO the vertex) toward p_target."""
+    wo_l = to_local(-d_in_world, t1, t2, ns)
+    w = _dir_to(p_self, p_target)
+    wi_l = to_local(w, t1, t2, ns)
+    pdf_w = bxdf.pdf(params, wo_l, wi_l)
+    return _to_area(pdf_w, p_self, p_target, n_target)
+
+
+@pytree
+class BDPTIntegrator:
+    max_depth: int = static_field(default=5)
+
+    # ---- subpath generation -------------------------------------------------
+
+    def _walk(self, scene, o0, d0, beta0, pdf_dir0, p_prev, lam, pid,
+              sample_idx, sampler, dim_base, n_steps, stop_at_light):
+        """Random-walk n_steps surface vertices from an initial ray.
+
+        Returns stacked per-vertex arrays with leading axis n_steps:
+        valid, p, ng, ns, d_in (unit, world, prev->this), beta (throughput
+        INTO the vertex), pdf_fwd (area), rev_pdf_w (solid-angle pdf of
+        scattering back toward the previous vertex), delta (sampled lobe was
+        specular), light (area-light id at the hit, -1), params (material
+        dict). Reference: GenerateCameraSubpath / GenerateLightSubpath +
+        RandomWalk (integrators.cpp:2374-2540).
+        """
+        n = o0.shape[0]
+
+        def step(carry, k):
+            o, d, beta, pdf_dir, p_prev, active = carry
+            isect = accel_api.closest(scene, o, d)
+            valid = active & isect.valid
+            if stop_at_light:
+                # Light subpaths stop when they land on a light (the
+                # reference keeps them; contribution there is zero anyway
+                # because lights here don't scatter).
+                valid = valid & (isect.light < 0)
+            ns = isect.n * jnp.sign(
+                jnp.where(dot(isect.n, isect.wo, keepdims=True) == 0.0, 1.0,
+                          dot(isect.n, isect.wo, keepdims=True))
+            )
+            pdf_fwd = jnp.where(
+                valid,
+                _to_area(pdf_dir, p_prev, isect.p, ns),
+                0.0,
+            )
+            t1, t2 = coordinate_system(ns)
+            wo_l = to_local(isect.wo, t1, t2, ns)
+            params = scene.materials.gather(isect.mat)
+            if scene.textures is not None:
+                from ..textures.buffers import evaluate_albedo_coeffs
+
+                params["albedo_coeffs"] = evaluate_albedo_coeffs(
+                    scene.textures, params["albedo_tex"], isect.uv, isect.p,
+                    params["albedo_coeffs"],
+                )
+
+            dim0 = dim_base + k * 4
+            uc = sampler.get_1d(pid, sample_idx, dim0)
+            ub0, ub1 = sampler.get_2d(pid, sample_idx, dim0 + 1)
+            bs = bxdf.sample(params, wo_l, lam, jnp.stack([ub0, ub1], -1), uc)
+            wi_w = from_local(bs["wi"], t1, t2, ns)
+            rev_pdf_w = bxdf.pdf(params, bs["wi"], wo_l)
+            rev_pdf_w = jnp.where(bs["specular"], 0.0, rev_pdf_w)
+
+            ok = valid & (bs["pdf"] > 0.0)
+            cos_wi = jnp.abs(bs["wi"][..., 2])
+            beta_next = jnp.where(
+                ok[..., None],
+                beta * bs["f"] * (cos_wi / jnp.maximum(bs["pdf"], _EPS))[..., None],
+                0.0,
+            )
+            pdf_dir_next = jnp.where(bs["specular"], 0.0, bs["pdf"])
+            o_new = offset_ray_origin(isect.p, isect.n, wi_w)
+
+            rec = {
+                "valid": valid,
+                "p": jnp.where(valid[:, None], isect.p, 0.0),
+                "ng": isect.n,
+                "ns": ns,
+                "d_in": d,
+                "beta": jnp.where(valid[:, None], beta, 0.0),
+                "pdf_fwd": pdf_fwd,
+                "rev_pdf_w": rev_pdf_w,
+                "delta": bs["specular"] & valid,
+                "light": jnp.where(valid, isect.light, -1),
+                "params": params,
+            }
+            carry = (
+                jnp.where(ok[:, None], o_new, o),
+                jnp.where(ok[:, None], wi_w, d),
+                beta_next,
+                jnp.where(ok, pdf_dir_next, 0.0),
+                jnp.where(ok[:, None], isect.p, p_prev),
+                ok,
+            )
+            return carry, rec
+
+        init = (o0, d0, beta0, pdf_dir0, p_prev,
+                jnp.ones((n,), bool))
+        _, recs = jax.lax.scan(
+            step, init, jnp.arange(n_steps), length=n_steps
+        )
+        # Post-walk reverse pdfs in area measure: pdfRev[i] = the density
+        # that vertex i+1 scatters back onto vertex i.
+        p = recs["p"]
+        ns = recs["ns"]
+        rev_w = recs["rev_pdf_w"]
+        pdf_rev = jnp.zeros_like(recs["pdf_fwd"])
+        if n_steps > 1:
+            conv = jax.vmap(
+                lambda pw, pf, pt, nt: _to_area(pw, pf, pt, nt)
+            )(rev_w[1:], p[1:], p[:-1], ns[:-1])
+            conv = jnp.where(recs["valid"][1:], conv, 0.0)
+            pdf_rev = pdf_rev.at[:-1].set(conv)
+        recs["pdf_rev"] = pdf_rev
+        return recs
+
+    # ---- full estimator -----------------------------------------------------
+
+    def trace(self, scene, camera, wl, pixel, sample_idx, sampler,
+              n_paths=None):
+        """One BDPT sample per entry of `pixel`.
+
+        Returns (L_pixel (N, S) radiance for t>=2 strategies,
+                 splat (npix+1, 3) RGB film splats for t==1 strategies,
+                 n_splat_paths).
+        """
+        from ..films.rgb import spectrum_to_rgb
+        from ..render import camera_rays_full
+        from ..samplers.samplers import as_sampler
+
+        sampler = as_sampler(sampler)
+        lights = scene.lights
+        assert lights.n_area > 0, "BDPT v1 needs area lights"
+        lam = wl.lam
+        n = pixel.shape[0]
+        s_spec = lam.shape[-1]
+        nx, ny = camera.resolution
+        npix = nx * ny
+        d_max = self.max_depth
+        nt = d_max  # camera surface vertices x1..x_nt
+        ns_ = d_max  # light vertices beyond y0: y1..y_{ns_}
+
+        cam_p = camera.position
+        a_base = camera.pixel_solid_angle_base()
+        a_film = a_base * npix
+
+        # ---- camera subpath.
+        o0, d0, _, _ = camera_rays_full(camera, pixel, sample_idx, sampler)
+        cos0 = self._cam_cos(camera, d0)
+        pdf_cam_dir = 1.0 / jnp.maximum(a_film * cos0 ** 3, _EPS)
+        X = self._walk(
+            scene, o0, d0, jnp.ones((n, s_spec)), pdf_cam_dir,
+            jnp.broadcast_to(cam_p, (n, 3)), lam, pixel, sample_idx, sampler,
+            dim_base=8, n_steps=nt, stop_at_light=False,
+        )
+
+        # ---- light subpath origin y0 (area lights, renormalized pmf).
+        na = lights.n_area
+        pmf_area = lights.select_pmf[:na]
+        pmf_area = pmf_area / jnp.maximum(jnp.sum(pmf_area), 1e-12)
+        cdf_area = jnp.cumsum(pmf_area)
+        u_sel = sampler.get_1d(pixel, sample_idx, 1000)
+        li = jnp.minimum(
+            jnp.sum((cdf_area[None, :] <= u_sel[..., None]).astype(jnp.int32),
+                    axis=-1),
+            na - 1,
+        )
+        pmf = gather_rows(pmf_area, li)
+        verts = gather_rows(lights.area_verts, li)
+        up0, up1 = sampler.get_2d(pixel, sample_idx, 1001)
+        bary = sample_uniform_triangle(jnp.stack([up0, up1], -1))
+        y0_p = jnp.einsum("nk,nkj->nj", bary, verts)
+        e1 = verts[:, 1] - verts[:, 0]
+        e2 = verts[:, 2] - verts[:, 0]
+        y0_n = normalize(jnp.cross(e1, e2))
+        area = gather_rows(lights.area_area, li)
+        le = eval_emission(
+            gather_rows(lights.area_coeffs, li),
+            gather_rows(lights.area_scale, li),
+            gather_rows(lights.area_illum, li),
+            lam,
+        )  # (n, S)
+        pdf_pos = pmf / jnp.maximum(area, _EPS)  # area measure incl. select
+        beta_y0 = (1.0 / jnp.maximum(pdf_pos, _EPS))[:, None]  # (n, 1)
+
+        # Emission direction: cosine hemisphere about the light normal.
+        ud0, ud1 = sampler.get_2d(pixel, sample_idx, 1002)
+        lt1, lt2 = coordinate_system(y0_n)
+        d_loc = sample_cosine_hemisphere(jnp.stack([ud0, ud1], -1))
+        y_d0 = from_local(d_loc, lt1, lt2, y0_n)
+        cos_e = jnp.abs(d_loc[..., 2])
+        pdf_e_dir = cos_e * _INV_PI
+        beta_y1 = beta_y0 * le * (cos_e / jnp.maximum(pdf_e_dir, _EPS))[:, None]
+        y_o0 = offset_ray_origin(y0_p, y0_n, y_d0)
+        Y = self._walk(
+            scene, y_o0, y_d0, beta_y1, pdf_e_dir, y0_p, lam, pixel,
+            sample_idx, sampler, dim_base=1004, n_steps=ns_,
+            stop_at_light=True,
+        )
+
+        # Vertex accessors: x index i (1-based surface) -> X arrays [i-1];
+        # y index j: j == 0 is the light origin, else Y arrays [j-1].
+        def xv(i, key):
+            return jax.tree_util.tree_map(lambda a: a[i - 1], X[key]) \
+                if key == "params" else X[key][i - 1]
+
+        def yv(j, key):
+            if j == 0:
+                return {
+                    "valid": jnp.ones((n,), bool),
+                    "p": y0_p, "ng": y0_n, "ns": y0_n,
+                    "beta": beta_y0 * jnp.ones((1, s_spec)),
+                    "pdf_fwd": pdf_pos,
+                    "pdf_rev": Y["pdf_rev_y0"],
+                    "delta": jnp.zeros((n,), bool),
+                }[key]
+            return jax.tree_util.tree_map(lambda a: a[j - 1], Y[key]) \
+                if key == "params" else Y[key][j - 1]
+
+        # pdfRev of y0 from the stored walk (y1 scattering back onto y0).
+        if ns_ >= 1:
+            conv = _to_area(Y["rev_pdf_w"][0], Y["p"][0], y0_p, y0_n)
+            Y["pdf_rev_y0"] = jnp.where(Y["valid"][0], conv, 0.0)
+        else:
+            Y["pdf_rev_y0"] = jnp.zeros((n,))
+
+        L = jnp.zeros((n, s_spec))
+        splat = jnp.zeros((npix + 1, 3), jnp.float32)
+
+        # ---- MIS weight (reference MISWeight, integrators.cpp:2541-2613).
+        def mis_weight(s, t, rev_x_t1, rev_x_t2, rev_y_s1, rev_y_s2):
+            """rev_*: remapped endpoint reverse densities for this strategy
+            (None to keep the stored value)."""
+            sum_ri = jnp.zeros((n,))
+            # Camera side: i = t-1 .. 1 over x vertices.
+            ri = jnp.ones((n,))
+            for i in range(t - 1, 0, -1):
+                if i == t - 1 and rev_x_t1 is not None:
+                    rev = rev_x_t1
+                elif i == t - 2 and rev_x_t2 is not None:
+                    rev = rev_x_t2
+                else:
+                    rev = xv(i, "pdf_rev")
+                ri = ri * _remap0(rev) / _remap0(xv(i, "pdf_fwd"))
+                d_i = xv(i, "delta")
+                d_im1 = xv(i - 1, "delta") if i - 1 >= 1 else jnp.zeros((n,), bool)
+                sum_ri = sum_ri + jnp.where(~d_i & ~d_im1, ri, 0.0)
+            # Light side: i = s-1 .. 0 over y vertices.
+            ri = jnp.ones((n,))
+            for i in range(s - 1, -1, -1):
+                if i == s - 1 and rev_y_s1 is not None:
+                    rev = rev_y_s1
+                elif i == s - 2 and rev_y_s2 is not None:
+                    rev = rev_y_s2
+                else:
+                    rev = yv(i, "pdf_rev") if i > 0 else Y["pdf_rev_y0"]
+                ri = ri * _remap0(rev) / _remap0(yv(i, "pdf_fwd"))
+                d_i = yv(i, "delta")
+                # i-1 == -1 means "the light itself": area lights are not
+                # delta distributions.
+                d_im1 = yv(i - 1, "delta") if i - 1 >= 0 else jnp.zeros((n,), bool)
+                sum_ri = sum_ri + jnp.where(~d_i & ~d_im1, ri, 0.0)
+            return 1.0 / (1.0 + sum_ri)
+
+        def frame(v_ns):
+            t1, t2 = coordinate_system(v_ns)
+            return t1, t2
+
+        def light_origin_pdf(light_idx):
+            """Area density of the light subpath starting at a point of
+            light `light_idx` (PdfLightOrigin)."""
+            i = jnp.clip(light_idx, 0, na - 1)
+            pm = gather_rows(pmf_area, i)
+            ar = gather_rows(lights.area_area, i)
+            return jnp.where(
+                light_idx >= 0, pm / jnp.maximum(ar, _EPS), 0.0
+            )
+
+        # ================= s == 0: camera path alone hits a light ==========
+        for t in range(2, nt + 2):
+            # x_{t-1} is the (t-1)-th surface vertex.
+            if t - 1 > nt:
+                continue
+            v = t - 1
+            val = xv(v, "valid") & (xv(v, "light") >= 0)
+            wo = -xv(v, "d_in")
+            le_v = lights.emitted(xv(v, "light"), xv(v, "ng"), wo, lam)
+            contrib = xv(v, "beta") * le_v
+            # MIS remaps: x[t-1].pdfRev <- PdfLightOrigin;
+            # x[t-2].pdfRev <- emission dir density onto x[t-2].
+            rev_t1 = light_origin_pdf(xv(v, "light"))
+            if t >= 3:
+                cos_l = jnp.abs(dot(xv(v, "ng"), wo))
+                pdf_dir = cos_l * _INV_PI
+                rev_t2 = _to_area(
+                    pdf_dir, xv(v, "p"), xv(v - 1, "p"), xv(v - 1, "ns")
+                )
+            else:
+                rev_t2 = None
+            w = mis_weight(0, t, rev_t1, rev_t2, None, None)
+            L = L + jnp.where(val[:, None], contrib * w[:, None], 0.0)
+
+        # ================= t >= 2, s >= 1: surface-surface connections ======
+        for s in range(1, ns_ + 2):
+            for t in range(2, nt + 2):
+                if s + t > d_max + 2:
+                    continue
+                vx = t - 1
+                vy = s - 1
+                if vx > nt or vy > ns_:
+                    continue
+                x_val = xv(vx, "valid") & (xv(vx, "light") < 0)
+                y_val = yv(vy, "valid") if vy > 0 else jnp.ones((n,), bool)
+                val = x_val & y_val
+                px_ = xv(vx, "p")
+                py_ = yv(vy, "p")
+                d2 = _dist2(px_, py_)
+                w_xy = _dir_to(px_, py_)  # x -> y
+
+                # Camera-end BSDF.
+                xns = xv(vx, "ns")
+                xt1, xt2 = frame(xns)
+                wo_x = to_local(-xv(vx, "d_in"), xt1, xt2, xns)
+                wi_x = to_local(w_xy, xt1, xt2, xns)
+                params_x = xv(vx, "params")
+                f_x = bxdf.evaluate(params_x, wo_x, wi_x, lam)
+
+                # Light-end throughput factor.
+                yns = yv(vy, "ns")
+                if vy == 0:
+                    # Emission toward x (one-sided).
+                    front = dot(y0_n, -w_xy) > 0.0
+                    f_y = jnp.where(front[:, None], le, 0.0)
+                else:
+                    yt1, yt2 = frame(yns)
+                    wo_y = to_local(-yv(vy, "d_in"), yt1, yt2, yns)
+                    wi_y = to_local(-w_xy, yt1, yt2, yns)
+                    params_y = yv(vy, "params")
+                    f_y = bxdf.evaluate(params_y, wo_y, wi_y, lam)
+
+                g = (
+                    jnp.abs(dot(xns, w_xy))
+                    * jnp.abs(dot(yns, w_xy))
+                    / jnp.maximum(d2, _EPS)
+                )
+                contrib = (
+                    xv(vx, "beta") * f_x * g[:, None] * f_y * yv(vy, "beta")
+                )
+                need = val & jnp.any(contrib != 0.0, axis=-1)
+                so = offset_ray_origin(px_, xv(vx, "ng"), w_xy)
+                dist = jnp.sqrt(jnp.maximum(d2, _EPS))
+                occ = accel_api.any_hit(
+                    scene,
+                    jnp.where(need[:, None], so, jnp.zeros_like(so) + 1e8),
+                    w_xy,
+                    jnp.where(need, dist * (1.0 - 1e-3), 0.0),
+                )
+                ok = need & ~occ
+
+                # --- MIS endpoint remaps.
+                # x[t-1].pdfRev <- density y[s-1] sends toward x[t-1].
+                if vy == 0:
+                    cos_l = jnp.abs(dot(y0_n, w_xy))
+                    rev_x_t1 = _to_area(
+                        cos_l * _INV_PI, py_, px_, xns
+                    )
+                else:
+                    rev_x_t1 = _bsdf_pdf_area(
+                        yv(vy, "params"), yns, *frame(yns), py_,
+                        yv(vy, "d_in"), px_, xns
+                    )
+                # x[t-2].pdfRev <- density x[t-1] scatters (from y) back to
+                # x[t-2].
+                if t >= 3:
+                    wo_new = to_local(w_xy, xt1, xt2, xns)  # toward y
+                    wi_back = to_local(
+                        _dir_to(px_, xv(vx - 1, "p")), xt1, xt2, xns
+                    )
+                    pdf_w = bxdf.pdf(params_x, wo_new, wi_back)
+                    rev_x_t2 = _to_area(
+                        pdf_w, px_, xv(vx - 1, "p"), xv(vx - 1, "ns")
+                    )
+                else:
+                    rev_x_t2 = None
+                # y[s-1].pdfRev <- density x[t-1] scatters toward y[s-1].
+                rev_y_s1 = _bsdf_pdf_area(
+                    params_x, xns, xt1, xt2, px_, xv(vx, "d_in"), py_, yns
+                )
+                # y[s-2].pdfRev <- density y[s-1] scatters (from x) toward
+                # y[s-2].
+                if s >= 2:
+                    yt1, yt2 = frame(yns)
+                    wo_new_y = to_local(-w_xy, yt1, yt2, yns)
+                    prev_p = yv(vy - 1, "p") if vy - 1 >= 1 else y0_p
+                    prev_ns = yv(vy - 1, "ns") if vy - 1 >= 1 else y0_n
+                    wi_back_y = to_local(_dir_to(py_, prev_p), yt1, yt2, yns)
+                    pdf_wy = bxdf.pdf(yv(vy, "params"), wo_new_y, wi_back_y)
+                    rev_y_s2 = _to_area(pdf_wy, py_, prev_p, prev_ns)
+                else:
+                    rev_y_s2 = None
+                w = mis_weight(s, t, rev_x_t1, rev_x_t2, rev_y_s1, rev_y_s2)
+                L = L + jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+
+        # ================= t == 1: splat light vertices onto the camera =====
+        from ..films.rgb import spectrum_to_rgb as _s2rgb
+
+        for s in range(2, ns_ + 2):
+            vy = s - 1
+            if vy > ns_:
+                continue
+            y_val = yv(vy, "valid")
+            py_ = yv(vy, "p")
+            to_c = cam_p[None, :] - py_
+            d2 = jnp.maximum(jnp.sum(to_c * to_c, axis=-1), 1e-12)
+            wi_c = to_c / jnp.sqrt(d2)[:, None]
+            praster, cos_c, inside = camera.project(py_)
+            omega = a_base * jnp.maximum(cos_c, 1e-4) ** 3
+            yns = yv(vy, "ns")
+            yt1, yt2 = frame(yns)
+            wo_y = to_local(-yv(vy, "d_in"), yt1, yt2, yns)
+            wi_y = to_local(wi_c, yt1, yt2, yns)
+            params_y = yv(vy, "params")
+            f_y = bxdf.evaluate(params_y, wo_y, wi_y, lam)
+            cos_p = jnp.abs(dot(yns, wi_c))
+            radiance = yv(vy, "beta") * f_y
+            so = offset_ray_origin(py_, yv(vy, "ng"), wi_c)
+            occ = accel_api.any_hit(
+                scene, so, wi_c, jnp.sqrt(d2) * (1.0 - 1e-3)
+            )
+            ok = y_val & inside & ~occ & jnp.any(radiance != 0.0, axis=-1)
+
+            # MIS remaps: y[s-1].pdfRev <- camera direction density;
+            # y[s-2].pdfRev <- y[s-1] scattering (from camera) backward.
+            pdf_cam = 1.0 / jnp.maximum(
+                a_film * jnp.maximum(cos_c, 1e-4) ** 3, _EPS
+            )
+            rev_y_s1 = _to_area(pdf_cam, jnp.broadcast_to(cam_p, py_.shape),
+                                py_, yns)
+            wo_new_y = to_local(wi_c, yt1, yt2, yns)
+            prev_p = yv(vy - 1, "p") if vy - 1 >= 1 else y0_p
+            prev_ns = yv(vy - 1, "ns") if vy - 1 >= 1 else y0_n
+            wi_back_y = to_local(_dir_to(py_, prev_p), yt1, yt2, yns)
+            pdf_wy = bxdf.pdf(params_y, wo_new_y, wi_back_y)
+            rev_y_s2 = _to_area(pdf_wy, py_, prev_p, prev_ns)
+            w_mis = mis_weight(s, 1, None, None, rev_y_s1, rev_y_s2)
+
+            rgb = _s2rgb(radiance, wl)
+            wgt = cos_p / (d2 * omega * n)
+            contrib = jnp.where(
+                ok[:, None], rgb * (wgt * w_mis)[:, None], 0.0
+            )
+            pix = (
+                jnp.clip(praster[..., 1].astype(jnp.int32), 0, ny - 1) * nx
+                + jnp.clip(praster[..., 0].astype(jnp.int32), 0, nx - 1)
+            )
+            pix = jnp.where(ok, pix, npix)
+            splat = splat.at[pix].add(contrib)
+
+        return L, splat[:npix], n
+
+    @staticmethod
+    def _cam_cos(camera, d_world):
+        """cos(theta) of world directions against the camera viewing axis."""
+        fwd = camera.camera_to_world.apply_vector(
+            jnp.asarray([[0.0, 0.0, 1.0]])
+        )[0]
+        return jnp.maximum(dot(d_world, fwd), 1e-4)
+
+
+def render_bdpt(scene, camera, spp: int = 16, max_depth: int = 5,
+                seed: int = 0, samples_per_pass: int = 1,
+                sampler_kind: str = "independent"):
+    """Full BDPT render: per-pixel strategies + t=1 splats, averaged."""
+    from ..core import spectrum
+    from ..films.rgb import spectrum_to_rgb
+    from ..samplers.samplers import Sampler
+
+    integ = BDPTIntegrator(max_depth=max_depth)
+    nx, ny = camera.resolution
+    npix = nx * ny
+    sampler = Sampler.create(sampler_kind, spp=spp, seed=seed, nx=nx)
+    pixel = jnp.arange(npix, dtype=jnp.int32)
+
+    @jax.jit
+    def one(scene, s):
+        u = sampler.get_1d(pixel, s, 4)
+        wl = spectrum.sample_visible(u)
+        L, splat, _ = integ.trace(scene, camera, wl, pixel, s, sampler)
+        rgb = spectrum_to_rgb(L, wl).reshape(ny, nx, 3)
+        return rgb + splat.reshape(ny, nx, 3)
+
+    acc = None
+    for s in range(spp):
+        img = one(scene, jnp.int32(s))
+        acc = img if acc is None else acc + img
+    return acc / spp
