@@ -76,6 +76,10 @@ def _bsdf_pdf_area(params, ns, t1, t2, p_self, d_in_world, p_target, n_target):
 @pytree
 class BDPTIntegrator:
     max_depth: int = static_field(default=5)
+    # Debug: collect per-strategy (s, t) contributions into this dict when a
+    # plain dict is assigned (tests/diagnostics only; None in production).
+    debug_sink: object = static_field(default=None)
+    disable_mis: bool = static_field(default=False)
 
     # ---- subpath generation -------------------------------------------------
 
@@ -122,6 +126,14 @@ class BDPTIntegrator:
                     params["albedo_coeffs"],
                 )
 
+            # Static dispatch flags must not ride through lax.scan (stacking
+            # would turn python bools into traced arrays); re-injected at
+            # vertex access time from scene.materials.
+            params_rec = {
+                k_: v_ for k_, v_ in params.items()
+                if not k_.startswith("any_")
+            }
+
             dim0 = dim_base + k * 4
             uc = sampler.get_1d(pid, sample_idx, dim0)
             ub0, ub1 = sampler.get_2d(pid, sample_idx, dim0 + 1)
@@ -151,7 +163,7 @@ class BDPTIntegrator:
                 "rev_pdf_w": rev_pdf_w,
                 "delta": bs["specular"] & valid,
                 "light": jnp.where(valid, isect.light, -1),
-                "params": params,
+                "params": params_rec,
             }
             carry = (
                 jnp.where(ok[:, None], o_new, o),
@@ -206,7 +218,10 @@ class BDPTIntegrator:
         nx, ny = camera.resolution
         npix = nx * ny
         d_max = self.max_depth
-        nt = d_max  # camera surface vertices x1..x_nt
+        # Camera subpath: x0 (camera) + nt surface vertices; pbrt generates
+        # maxDepth+2 camera vertices so the pure-path strategy (s=0) reaches
+        # the same path length as the unidirectional tracer.
+        nt = d_max + 1  # camera surface vertices x1..x_nt
         ns_ = d_max  # light vertices beyond y0: y1..y_{ns_}
 
         cam_p = camera.position
@@ -269,9 +284,21 @@ class BDPTIntegrator:
 
         # Vertex accessors: x index i (1-based surface) -> X arrays [i-1];
         # y index j: j == 0 is the light origin, else Y arrays [j-1].
+        mat_flags = {
+            k_: v_ for k_, v_ in (
+                ("any_conductor", scene.materials.any_conductor),
+                ("any_dielectric", scene.materials.any_dielectric),
+                ("any_thin", scene.materials.any_thin),
+                ("any_coated", scene.materials.any_coated),
+                ("any_diffusetrans", scene.materials.any_diffusetrans),
+            )
+        }
+
         def xv(i, key):
-            return jax.tree_util.tree_map(lambda a: a[i - 1], X[key]) \
-                if key == "params" else X[key][i - 1]
+            if key == "params":
+                p = jax.tree_util.tree_map(lambda a: a[i - 1], X[key])
+                return {**p, **mat_flags}
+            return X[key][i - 1]
 
         def yv(j, key):
             if j == 0:
@@ -283,8 +310,10 @@ class BDPTIntegrator:
                     "pdf_rev": Y["pdf_rev_y0"],
                     "delta": jnp.zeros((n,), bool),
                 }[key]
-            return jax.tree_util.tree_map(lambda a: a[j - 1], Y[key]) \
-                if key == "params" else Y[key][j - 1]
+            if key == "params":
+                p = jax.tree_util.tree_map(lambda a: a[j - 1], Y[key])
+                return {**p, **mat_flags}
+            return Y[key][j - 1]
 
         # pdfRev of y0 from the stored walk (y1 scattering back onto y0).
         if ns_ >= 1:
@@ -367,7 +396,12 @@ class BDPTIntegrator:
             else:
                 rev_t2 = None
             w = mis_weight(0, t, rev_t1, rev_t2, None, None)
-            L = L + jnp.where(val[:, None], contrib * w[:, None], 0.0)
+            if self.disable_mis:
+                w = jnp.ones_like(w)
+            term = jnp.where(val[:, None], contrib * w[:, None], 0.0)
+            if self.debug_sink is not None:
+                self.debug_sink[(0, t)] = term
+            L = L + term
 
         # ================= t >= 2, s >= 1: surface-surface connections ======
         for s in range(1, ns_ + 2):
@@ -468,12 +502,17 @@ class BDPTIntegrator:
                 else:
                     rev_y_s2 = None
                 w = mis_weight(s, t, rev_x_t1, rev_x_t2, rev_y_s1, rev_y_s2)
-                L = L + jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+                if self.disable_mis:
+                    w = jnp.ones_like(w)
+                term = jnp.where(ok[:, None], contrib * w[:, None], 0.0)
+                if self.debug_sink is not None:
+                    self.debug_sink[(s, t)] = term
+                L = L + term
 
         # ================= t == 1: splat light vertices onto the camera =====
         from ..films.rgb import spectrum_to_rgb as _s2rgb
 
-        for s in range(2, ns_ + 2):
+        for s in range(1, ns_ + 2):
             vy = s - 1
             if vy > ns_:
                 continue
@@ -485,13 +524,21 @@ class BDPTIntegrator:
             praster, cos_c, inside = camera.project(py_)
             omega = a_base * jnp.maximum(cos_c, 1e-4) ** 3
             yns = yv(vy, "ns")
-            yt1, yt2 = frame(yns)
-            wo_y = to_local(-yv(vy, "d_in"), yt1, yt2, yns)
-            wi_y = to_local(wi_c, yt1, yt2, yns)
-            params_y = yv(vy, "params")
-            f_y = bxdf.evaluate(params_y, wo_y, wi_y, lam)
+            if vy == 0:
+                # s == 1: the light origin itself splats onto the camera —
+                # this is how pbrt's BDPT renders directly visible emitters
+                # (ConnectBDPT t==1, s==1; integrators.cpp:2680-2720).
+                front = dot(y0_n, wi_c) > 0.0
+                f_y = jnp.where(front[:, None], le, 0.0)
+                radiance = yv(vy, "beta") * f_y
+            else:
+                yt1, yt2 = frame(yns)
+                wo_y = to_local(-yv(vy, "d_in"), yt1, yt2, yns)
+                wi_y = to_local(wi_c, yt1, yt2, yns)
+                params_y = yv(vy, "params")
+                f_y = bxdf.evaluate(params_y, wo_y, wi_y, lam)
+                radiance = yv(vy, "beta") * f_y
             cos_p = jnp.abs(dot(yns, wi_c))
-            radiance = yv(vy, "beta") * f_y
             so = offset_ray_origin(py_, yv(vy, "ng"), wi_c)
             occ = accel_api.any_hit(
                 scene, so, wi_c, jnp.sqrt(d2) * (1.0 - 1e-3)
@@ -505,13 +552,20 @@ class BDPTIntegrator:
             )
             rev_y_s1 = _to_area(pdf_cam, jnp.broadcast_to(cam_p, py_.shape),
                                 py_, yns)
-            wo_new_y = to_local(wi_c, yt1, yt2, yns)
-            prev_p = yv(vy - 1, "p") if vy - 1 >= 1 else y0_p
-            prev_ns = yv(vy - 1, "ns") if vy - 1 >= 1 else y0_n
-            wi_back_y = to_local(_dir_to(py_, prev_p), yt1, yt2, yns)
-            pdf_wy = bxdf.pdf(params_y, wo_new_y, wi_back_y)
-            rev_y_s2 = _to_area(pdf_wy, py_, prev_p, prev_ns)
+            if vy >= 1:
+                yt1, yt2 = frame(yns)
+                params_y = yv(vy, "params")
+                wo_new_y = to_local(wi_c, yt1, yt2, yns)
+                prev_p = yv(vy - 1, "p") if vy - 1 >= 1 else y0_p
+                prev_ns = yv(vy - 1, "ns") if vy - 1 >= 1 else y0_n
+                wi_back_y = to_local(_dir_to(py_, prev_p), yt1, yt2, yns)
+                pdf_wy = bxdf.pdf(params_y, wo_new_y, wi_back_y)
+                rev_y_s2 = _to_area(pdf_wy, py_, prev_p, prev_ns)
+            else:
+                rev_y_s2 = None
             w_mis = mis_weight(s, 1, None, None, rev_y_s1, rev_y_s2)
+            if self.disable_mis:
+                w_mis = jnp.ones_like(w_mis)
 
             rgb = _s2rgb(radiance, wl)
             wgt = cos_p / (d2 * omega * n)
