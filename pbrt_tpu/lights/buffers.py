@@ -84,6 +84,8 @@ class LightBuffers:
     select_pmf: jnp.ndarray  # (n_lights,)
     # Image-based environment light (replaces the uniform infinite light).
     env: object = None  # Optional[EnvironmentMap]
+    # Many-light BVH (lights/bvh.py); set when sampler == "bvh".
+    bvh: object = None  # Optional[LightBVH]
     has_infinite: bool = static_field(default=False)
     sampler: str = static_field(default="uniform")
 
@@ -121,7 +123,7 @@ class LightBuffers:
         distants=None,  # dicts: dir (travel direction), rgb, scale, illuminant
         infinite=None,  # dict: rgb, scale, illuminant — or None
         envmap=None,  # EnvironmentMap — replaces `infinite` when given
-        sampler: str = "uniform",  # "uniform" | "power" selection
+        sampler: str = "uniform",  # "uniform" | "power" | "bvh" selection
     ) -> "LightBuffers":
         def _fit(rgbs):
             if not len(rgbs):
@@ -223,7 +225,7 @@ class LightBuffers:
             pmf = np.full(nl, 1.0 / nl)
         cdf = np.cumsum(pmf)
 
-        return LightBuffers(
+        lb = LightBuffers(
             select_cdf=jnp.asarray(cdf, jnp.float32),
             select_pmf=jnp.asarray(pmf, jnp.float32),
             env=envmap,
@@ -255,6 +257,99 @@ class LightBuffers:
             infinite_scale=isc,
             infinite_illum=iil,
             has_infinite=infinite is not None,
+        )
+        if sampler == "bvh":
+            from .bvh import LightBVH
+
+            lb = lb.replace(bvh=LightBVH.build(lb))
+        return lb
+
+    # -- selection ----------------------------------------------------------
+
+    @property
+    def n_bvh(self) -> int:
+        """Positional lights held by the light BVH (area + point + spot)."""
+        return self.n_area + self.n_point + self.n_spot
+
+    @property
+    def n_inf_list(self) -> int:
+        """Lights sampled outside the BVH (distant + infinite/env) —
+        reference: lights without Bounds() go to BVHLightSampler's
+        infiniteLights list (lightsamplers.h:260)."""
+        return self.n_distant + (1 if (self.has_infinite or self.has_env)
+                                 else 0)
+
+    @property
+    def _p_infinite(self) -> float:
+        """Probability of sampling the non-BVH light list (reference
+        BVHLightSampler::Sample: count-proportional split)."""
+        ni = self.n_inf_list
+        if self.bvh is None or ni == 0:
+            return 0.0 if self.n_bvh > 0 else 1.0
+        return ni / (ni + 1.0)
+
+    def select(self, p_ref, n_ref, u_select):
+        """Pick a light per shading point: (idx (N,) int32, pmf (N,)).
+
+        BVH mode: shading-point-driven stochastic descent; otherwise the
+        tabulated power/uniform cdf."""
+        n = self.n_lights
+        if self.bvh is not None:
+            from . import bvh as light_bvh
+
+            p_inf = self._p_infinite
+            ni = self.n_inf_list
+            if ni > 0:
+                pick_inf = u_select < p_inf
+                inf_off = jnp.minimum(
+                    (u_select / max(p_inf, 1e-9) * ni).astype(jnp.int32),
+                    ni - 1,
+                )
+                inf_idx = self.n_bvh + inf_off
+            else:
+                pick_inf = jnp.zeros(u_select.shape, bool)
+                inf_idx = jnp.zeros(u_select.shape, jnp.int32)
+            u_bvh = jnp.clip(
+                (u_select - p_inf) / max(1.0 - p_inf, 1e-9), 0.0, 1.0 - 1e-7
+            )
+            bl, bpmf = light_bvh.sample(self.bvh, p_ref, n_ref, u_bvh)
+            idx = jnp.where(pick_inf, inf_idx, jnp.maximum(bl, 0))
+            pmf = jnp.where(
+                pick_inf,
+                p_inf / max(ni, 1),
+                (1.0 - p_inf) * bpmf * (bl >= 0),
+            )
+            return idx, pmf
+        idx = jnp.minimum(
+            jnp.sum(
+                (self.select_cdf[None, :] <= u_select[..., None]).astype(
+                    jnp.int32
+                ),
+                axis=-1,
+            ),
+            n - 1,
+        )
+        return idx, gather_rows(self.select_pmf, idx)
+
+    def selection_pmf(self, light_idx, p_ref=None, n_ref=None):
+        """PMF that `select` picks light_idx (>=0) at p_ref. Used for MIS
+        when a BSDF ray lands on a light (BVHLightSampler::PMF)."""
+        if self.bvh is not None:
+            from . import bvh as light_bvh
+
+            p_inf = self._p_infinite
+            ni = self.n_inf_list
+            in_bvh = (light_idx >= 0) & (light_idx < self.n_bvh)
+            pm = (1.0 - p_inf) * light_bvh.pmf(
+                self.bvh, p_ref, n_ref, jnp.where(in_bvh, light_idx, 0)
+            )
+            pm_inf = p_inf / max(ni, 1)
+            return jnp.where(
+                in_bvh, pm, jnp.where(light_idx >= 0, pm_inf, 0.0)
+            )
+        i = jnp.clip(light_idx, 0, self.n_lights - 1)
+        return jnp.where(
+            light_idx >= 0, gather_rows(self.select_pmf, i), 0.0
         )
 
     # -- emission queries ---------------------------------------------------
@@ -321,38 +416,32 @@ class LightBuffers:
         infinite light, including its selection pmf (for MIS on escaped
         rays). Zero when there is no infinite light."""
         n_inf = self.n_area + self.n_point + self.n_spot + self.n_distant
+        if self.bvh is not None:
+            pmf = self._p_infinite / max(self.n_inf_list, 1)
+        else:
+            pmf = self.select_pmf[n_inf] if (
+                self.has_env or self.has_infinite
+            ) else 0.0
         if self.has_env:
-            pmf = self.select_pmf[n_inf]
             return self.env.pdf_dir(d) * pmf
         if self.has_infinite:
-            pmf = self.select_pmf[n_inf]
             return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi)) * pmf
         return jnp.zeros(d.shape[:-1])
 
     # -- NEE sampling -------------------------------------------------------
 
-    def sample_li(self, p_ref, lam, u_select, u_pos) -> LightLiSample:
-        """Uniformly select a light, sample a point/direction on it.
+    def sample_li(self, p_ref, lam, u_select, u_pos, n_ref=None) -> LightLiSample:
+        """Select a light (cdf or BVH descent), sample a point/direction.
 
-        p_ref: (N, 3) shading points; u_select: (N,); u_pos: (N, 2).
-        pdf is with respect to solid angle at p_ref and INCLUDES the 1/n_lights
-        selection pmf (UniformLightSampler semantics, lightsamplers.h:29).
-        """
+        p_ref: (N, 3) shading points; u_select: (N,); u_pos: (N, 2);
+        n_ref: optional (N, 3) shading normals (drives the BVH importance;
+        None for media scattering points). pdf is with respect to solid
+        angle at p_ref and INCLUDES the selection pmf."""
         n = self.n_lights
         assert n > 0, "sample_li with no lights"
         N = p_ref.shape[0]
         S = lam.shape[-1]
-        # Selection by tabulated cdf (uniform or power-proportional).
-        idx = jnp.minimum(
-            jnp.sum(
-                (self.select_cdf[None, :] <= u_select[..., None]).astype(
-                    jnp.int32
-                ),
-                axis=-1,
-            ),
-            n - 1,
-        )
-        sel_pmf = gather_rows(self.select_pmf, idx)
+        idx, sel_pmf = self.select(p_ref, n_ref, u_select)
 
         L = jnp.zeros((N, S), p_ref.dtype)
         wi = jnp.zeros((N, 3), p_ref.dtype)
@@ -482,17 +571,22 @@ class LightBuffers:
             L=L, wi=wi, pdf=pdf * sel_pmf, dist=dist, is_delta=is_delta
         )
 
-    def pdf_li_area(self, light_idx, dist, cos_l):
+    def pdf_li_area(self, light_idx, dist, cos_l, p_ref=None, n_ref=None):
         """Solid-angle pdf that NEE would have produced the direction that hit
         area light `light_idx` (for MIS on BSDF-sampled rays).
 
-        Includes the uniform selection pmf. Reference: DiffuseAreaLight::PDF_Li
-        + UniformLightSampler::PMF.
+        Includes the selection pmf — shading-point-dependent in BVH mode, so
+        p_ref/n_ref must be the PREVIOUS path vertex (the point NEE would
+        have sampled from). Reference: DiffuseAreaLight::PDF_Li +
+        {Uniform,Power,BVH}LightSampler::PMF.
         """
         if self.n_area == 0:
             return jnp.zeros_like(dist)
         i = jnp.clip(light_idx, 0, self.n_area - 1)
         area = jnp.maximum(gather_rows(self.area_area, i), _EPS)
-        pmf = gather_rows(self.select_pmf[: max(self.n_area, 1)], i)
+        if self.bvh is not None and p_ref is not None:
+            pmf = self.selection_pmf(light_idx, p_ref, n_ref)
+        else:
+            pmf = gather_rows(self.select_pmf[: max(self.n_area, 1)], i)
         pdf = dist * dist / (jnp.abs(cos_l) * area + _EPS)
         return jnp.where(light_idx >= 0, pdf * pmf, 0.0)

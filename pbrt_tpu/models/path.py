@@ -71,6 +71,10 @@ class PathIntegrator:
             "active": jnp.ones((n,), bool),
             "prev_pdf": jnp.ones((n,), o.dtype),
             "specular": jnp.ones((n,), bool),  # depth-0 emission counts fully
+            # Previous path vertex (context for shading-point-dependent
+            # light-selection pmf in MIS; BVHLightSampler::PMF needs it).
+            "prev_p": o,
+            "prev_ns": jnp.zeros((n, 3), o.dtype),
             "rays": jnp.zeros((), jnp.float32),
         }
 
@@ -91,7 +95,8 @@ class PathIntegrator:
                 le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
                 if self.use_mis and self.use_nee:
                     light_pdf = scene.lights.pdf_li_area(
-                        isect.light, isect.t, cos_l
+                        isect.light, isect.t, cos_l,
+                        p_ref=carry["prev_p"], n_ref=carry["prev_ns"],
                     )
                     w_l = power_heuristic(1, carry["prev_pdf"], 1, light_pdf)
                     w_l = jnp.where(carry["specular"], 1.0, w_l)
@@ -149,7 +154,9 @@ class PathIntegrator:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
                 up0, up1 = sampler.get_2d(pixel, sample_idx, dim0 + 1)
                 u_pos = jnp.stack([up0, up1], axis=-1)
-                ls = scene.lights.sample_li(isect.p, lam, u_sel, u_pos)
+                ls = scene.lights.sample_li(
+                    isect.p, lam, u_sel, u_pos, n_ref=ns
+                )
                 wi_l = to_local(ls.wi, t1, t2, ns)
                 f_nee = bxdf.evaluate(params, wo_l, wi_l, lam) * jnp.abs(
                     wi_l[..., 2:3]
@@ -209,6 +216,8 @@ class PathIntegrator:
                 "active": ok,
                 "prev_pdf": jnp.where(ok, bs["pdf"], carry["prev_pdf"]),
                 "specular": jnp.where(ok, bs["specular"], carry["specular"]),
+                "prev_p": jnp.where(ok[..., None], isect.p, carry["prev_p"]),
+                "prev_ns": jnp.where(ok[..., None], ns, carry["prev_ns"]),
                 "rays": n_rays,
             }
 

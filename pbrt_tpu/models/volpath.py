@@ -134,6 +134,8 @@ class VolPathIntegrator:
             "active": jnp.ones((n,), bool),
             "prev_pdf": jnp.ones((n,), o.dtype),
             "specular": jnp.ones((n,), bool),
+            "prev_p": o,
+            "prev_ns": jnp.zeros((n, 3), o.dtype),
             "rays": jnp.zeros((), jnp.float32),
         }
 
@@ -256,7 +258,8 @@ class VolPathIntegrator:
                 le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
                 if self.use_mis and self.use_nee:
                     light_pdf = scene.lights.pdf_li_area(
-                        isect.light, isect.t, cos_l
+                        isect.light, isect.t, cos_l,
+                        p_ref=carry["prev_p"], n_ref=carry["prev_ns"],
                     )
                     w_l = power_heuristic(1, carry["prev_pdf"], 1, light_pdf)
                     w_l = jnp.where(carry["specular"], 1.0, w_l)
@@ -350,7 +353,7 @@ class VolPathIntegrator:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 6)
                 up = sampler.get_2d(pixel, sample_idx, dim0 + 7)
                 ls = scene.lights.sample_li(
-                    isect.p, lam, u_sel, jnp.stack(up, axis=-1)
+                    isect.p, lam, u_sel, jnp.stack(up, axis=-1), n_ref=ns
                 )
                 wi_l = to_local(ls.wi, t1f, t2f, ns)
                 f_nee = bxdf.evaluate(params, wo_l, wi_l, lam) * jnp.abs(
@@ -418,6 +421,15 @@ class VolPathIntegrator:
                 "active": next_active,
                 "prev_pdf": prev_pdf,
                 "specular": specular,
+                "prev_p": jnp.where(
+                    next_active[..., None],
+                    jnp.where(scattered[..., None], p_med, isect.p),
+                    carry["prev_p"],
+                ),
+                "prev_ns": jnp.where(
+                    (next_active & ~scattered)[..., None], ns,
+                    jnp.where(next_active[..., None], 0.0, carry["prev_ns"]),
+                ),
                 "rays": n_rays,
             }
 

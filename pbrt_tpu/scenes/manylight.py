@@ -18,7 +18,8 @@ from ..scene import Scene
 from ..shapes.geometry import GeometryBuffers, make_box, make_quad
 
 
-def manylight_scene(resolution=(256, 256), n_lights: int = 1024, seed=7):
+def manylight_scene(resolution=(256, 256), n_lights: int = 1024, seed=7,
+                    sampler: str = "power"):
     r = np.random.default_rng(seed)
     side = int(np.sqrt(n_lights))
     assert side * side == n_lights
@@ -74,7 +75,7 @@ def manylight_scene(resolution=(256, 256), n_lights: int = 1024, seed=7):
              "coat_roughness": 0.08},
         ]
     )
-    lights = LightBuffers.build(area_tris=area_specs, sampler="power")
+    lights = LightBuffers.build(area_tris=area_specs, sampler=sampler)
     scene = Scene(geom=geom, materials=materials, lights=lights).with_accel()
     cam2world = transform.look_at(
         eye=(0.0, 2.2, -16.0), target=(0.0, 1.2, 0.0), up=(0.0, 1.0, 0.0)
