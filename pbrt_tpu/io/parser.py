@@ -37,6 +37,7 @@ from ..materials.buffers import (
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
     MAT_DIFFUSETRANS,
+    MAT_HAIR,
     MAT_THINDIELECTRIC,
     MaterialBuffers,
 )
@@ -390,6 +391,33 @@ class PbrtParser:
         elif mtype in ("thindielectric",):
             spec["kind"] = MAT_THINDIELECTRIC
             spec["eta"] = float(_get(p, "eta", 1.5) or 1.5)
+        elif mtype == "hair":
+            # Reference parameter priority (materials.cpp HairMaterial::Create):
+            # sigma_a > reflectance > eumelanin/pheomelanin (default eu 1.3).
+            import jax.numpy as jnp
+
+            from ..materials import hair as hair_mod
+
+            spec["kind"] = MAT_HAIR
+            spec["roughness"] = float(_get(p, "beta_m", 0.3) or 0.3)
+            spec["coat_roughness"] = float(_get(p, "beta_n", 0.3) or 0.3)
+            spec["eta"] = float(_get(p, "eta", 1.55) or 1.55)
+            spec["hair_alpha"] = float(_get(p, "alpha", 2.0) or 2.0)
+            sig = _get_vec(p, "sigma_a")
+            if sig is None and refl is not None:
+                sig = np.asarray(
+                    hair_mod.sigma_a_from_reflectance(
+                        jnp.asarray(np.asarray(refl, np.float32)),
+                        spec["coat_roughness"],
+                    )
+                )
+            if sig is None:
+                ce = float(_get(p, "eumelanin", 1.3) or 1.3)
+                cp = float(_get(p, "pheomelanin", 0.0) or 0.0)
+                sig = np.asarray(hair_mod.sigma_a_from_concentration(ce, cp))
+            if len(np.atleast_1d(sig)) == 3:
+                spec["hair_sigma_a"] = tuple(np.asarray(sig, float))
+            refl = None  # reflectance consumed as pigment, not albedo
         else:
             self.warnings.append(f"material {mtype} approximated as diffuse")
         if refl is not None and len(np.atleast_1d(refl)) == 3:

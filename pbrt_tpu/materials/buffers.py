@@ -25,6 +25,7 @@ MAT_THINDIELECTRIC = 3
 MAT_COATEDDIFFUSE = 4
 MAT_COATEDCONDUCTOR = 5
 MAT_DIFFUSETRANS = 6
+MAT_HAIR = 7
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -47,13 +48,17 @@ class MaterialBuffers:
     cond_k_coeffs: jnp.ndarray  # (M, 3) conductor k spectrum fit
     cond_k_scale: jnp.ndarray  # (M,)
     albedo_tex: jnp.ndarray  # (M,) texture id for albedo, -1 = constant
-    coat_roughness: jnp.ndarray  # (M,) coating GGX roughness (coated kinds)
+    coat_roughness: jnp.ndarray  # (M,) coating GGX roughness (coated kinds); hair beta_n
     trans_coeffs: jnp.ndarray  # (M, 3) transmittance sigmoid coeffs (diffusetrans)
+    hair_sigma_coeffs: jnp.ndarray  # (M, 3) hair sigma_a unbounded-spectrum fit
+    hair_sigma_scale: jnp.ndarray  # (M,)
+    hair_alpha: jnp.ndarray  # (M,) hair cuticle tilt, degrees
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
     any_coated: bool = static_field(default=False)
     any_diffusetrans: bool = static_field(default=False)
+    any_hair: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -63,6 +68,7 @@ class MaterialBuffers:
         coat_rough = []
         transs = []
         c_eta, c_k = [], []
+        hair_sig, hair_alpha = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
@@ -76,9 +82,13 @@ class MaterialBuffers:
                 cond = CONDUCTOR_PRESETS[cond]
             c_eta.append(cond[0])
             c_k.append(cond[1])
+            # Default sigma_a ~ brown hair (eumelanin 1.3, materials.cpp:153).
+            hair_sig.append(m.get("hair_sigma_a", (0.5447, 0.9061, 1.781)))
+            hair_alpha.append(m.get("hair_alpha", 2.0))
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
+        hs, hss = rgb2spec.fit_unbounded(jnp.asarray(hair_sig, jnp.float32))
         kinds_arr = jnp.asarray(kinds, jnp.int32)
         return MaterialBuffers(
             kind=kinds_arr,
@@ -94,6 +104,9 @@ class MaterialBuffers:
             trans_coeffs=rgb2spec.fit_albedo(
                 jnp.asarray(transs, jnp.float32)
             ),
+            hair_sigma_coeffs=hs,
+            hair_sigma_scale=hss,
+            hair_alpha=jnp.asarray(hair_alpha, jnp.float32),
             any_conductor=any(
                 k in (MAT_CONDUCTOR, MAT_COATEDCONDUCTOR) for k in kinds
             ),
@@ -103,6 +116,7 @@ class MaterialBuffers:
                 k in (MAT_COATEDDIFFUSE, MAT_COATEDCONDUCTOR) for k in kinds
             ),
             any_diffusetrans=any(k == MAT_DIFFUSETRANS for k in kinds),
+            any_hair=any(k == MAT_HAIR for k in kinds),
         )
 
     def gather(self, mat_idx):
@@ -127,10 +141,13 @@ class MaterialBuffers:
                 self.albedo_tex.astype(f32)[:, None],
                 self.coat_roughness[:, None],
                 self.trans_coeffs,
+                self.hair_sigma_coeffs,
+                self.hair_sigma_scale[:, None],
+                self.hair_alpha[:, None],
             ],
             axis=1,
         )
-        g = gather_rows(packed, mat_idx)  # (N, 14)
+        g = gather_rows(packed, mat_idx)  # (N, 24)
         return {
             "kind": jnp.round(g[:, 0]).astype(jnp.int32),
             "albedo_coeffs": g[:, 1:4],
@@ -143,9 +160,13 @@ class MaterialBuffers:
             "albedo_tex": jnp.round(g[:, 14]).astype(jnp.int32),
             "coat_roughness": g[:, 15],
             "trans_coeffs": g[:, 16:19],
+            "hair_sigma_coeffs": g[:, 19:22],
+            "hair_sigma_scale": g[:, 22],
+            "hair_alpha": g[:, 23],
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,
             "any_coated": self.any_coated,
             "any_diffusetrans": self.any_diffusetrans,
+            "any_hair": self.any_hair,
         }

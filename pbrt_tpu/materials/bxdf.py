@@ -23,6 +23,7 @@ from ..core.sampling import (
     sample_cosine_hemisphere,
 )
 from ..core.vecmath import normalize
+from . import hair
 from . import scattering as sc
 from .buffers import (
     MAT_COATEDCONDUCTOR,
@@ -31,6 +32,7 @@ from .buffers import (
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
     MAT_DIFFUSETRANS,
+    MAT_HAIR,
     MAT_THINDIELECTRIC,
 )
 
@@ -353,6 +355,44 @@ def coated_sample(base_sample_fn, base_f_fn, base_pdf_fn, alpha_c, wo, u2, uc):
 # --- Unified per-ray dispatch ----------------------------------------------
 
 
+def surface_params(scene, isect, lam=None):
+    """Per-ray material parameters at a surface interaction.
+
+    Gathers the material row, overlays textured albedo, and attaches the
+    interaction-dependent inputs (hair offset h from the curve v coordinate,
+    reference hair.h: h = -1 + 2 * intr.uv[1]; the hero wavelengths, which
+    hair's sampling PDF depends on through sigma_a).
+    """
+    params = scene.materials.gather(isect.mat)
+    if lam is not None:
+        params["lam"] = lam
+    if scene.textures is not None:
+        from ..textures.buffers import evaluate_albedo_coeffs
+
+        params["albedo_coeffs"] = evaluate_albedo_coeffs(
+            scene.textures, params["albedo_tex"], isect.uv, isect.p,
+            params["albedo_coeffs"],
+        )
+    if params["any_hair"]:
+        params["hair_h"] = jnp.clip(
+            2.0 * isect.uv[..., 1] - 1.0, -0.9995, 0.9995
+        )
+    return params
+
+
+def _hair_args(params):
+    bm = jnp.clip(params["roughness"], 1e-2, 1.0)
+    bn = jnp.clip(params["coat_roughness"], 1e-2, 1.0)
+    h = params.get("hair_h", jnp.zeros_like(bm))
+    return h, params["eta"], bm, bn, params["hair_alpha"]
+
+
+def _hair_sigma_a(params, lam):
+    return rgb2spec.eval_unbounded(
+        params["hair_sigma_coeffs"], params["hair_sigma_scale"], lam
+    )
+
+
 def _gather_spectral_eta_k(params, lam):
     eta = rgb2spec.eval_unbounded(
         params["cond_eta_coeffs"], params["cond_eta_scale"], lam
@@ -406,6 +446,11 @@ def evaluate(params, wo, wi, lam):
                 alpha_c, wo, wi,
             )
             f = jnp.where((kind == MAT_COATEDCONDUCTOR)[..., None], f_cc, f)
+    if params["any_hair"]:
+        h, eta_h, bm, bn, tilt = _hair_args(params)
+        sig_a = _hair_sigma_a(params, lam)
+        f_h = hair.hair_f(h, eta_h, sig_a, bm, bn, tilt, wo, wi)
+        f = jnp.where((kind == MAT_HAIR)[..., None], f_h, f)
     return f
 
 
@@ -433,6 +478,11 @@ def pdf(params, wo, wi):
                 alpha_c, wo, wi,
             )
             p = jnp.where(kind == MAT_COATEDCONDUCTOR, p_cc, p)
+    if params["any_hair"]:
+        h, eta_h, bm, bn, tilt = _hair_args(params)
+        sig_a = _hair_sigma_a(params, params["lam"])
+        p_h = hair.hair_pdf(h, eta_h, sig_a, bm, bn, tilt, wo, wi)
+        p = jnp.where(kind == MAT_HAIR, p_h, p)
     return p
 
 
@@ -502,6 +552,18 @@ def sample(params, wo, lam, u2, uc):
             f = jnp.where(m[..., None], f_cc, f)
             p = jnp.where(m, p_cc, p)
             specular = jnp.where(m, False, specular)
+
+    if params["any_hair"]:
+        h, eta_h, bm, bn, tilt = _hair_args(params)
+        sig_a = _hair_sigma_a(params, lam)
+        wi_h, f_h, p_h = hair.hair_sample(
+            h, eta_h, sig_a, bm, bn, tilt, wo, u2, uc
+        )
+        m = kind == MAT_HAIR
+        wi = jnp.where(m[..., None], wi_h, wi)
+        f = jnp.where(m[..., None], f_h, f)
+        p = jnp.where(m, p_h, p)
+        specular = jnp.where(m, False, specular)
 
     if params["any_thin"]:
         wi_t, f_t, p_t = thin_dielectric_sample(params["eta"], wo, uc)

@@ -122,7 +122,7 @@ class RandomWalkIntegrator:
                 )
             )
             t1, t2 = coordinate_system(ns)
-            params = scene.materials.gather(isect.mat)
+            params = bxdf_mod.surface_params(scene, isect, lam)
             u = sampler.get_2d(pixel, sample_idx, 8 + depth * 4)
             wi = sample_uniform_sphere(jnp.stack(u, axis=-1))
             wo_l = _to_local(isect.wo, t1, t2, ns)

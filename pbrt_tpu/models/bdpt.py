@@ -117,14 +117,7 @@ class BDPTIntegrator:
             )
             t1, t2 = coordinate_system(ns)
             wo_l = to_local(isect.wo, t1, t2, ns)
-            params = scene.materials.gather(isect.mat)
-            if scene.textures is not None:
-                from ..textures.buffers import evaluate_albedo_coeffs
-
-                params["albedo_coeffs"] = evaluate_albedo_coeffs(
-                    scene.textures, params["albedo_tex"], isect.uv, isect.p,
-                    params["albedo_coeffs"],
-                )
+            params = bxdf.surface_params(scene, isect, lam)
 
             # Static dispatch flags must not ride through lax.scan (stacking
             # would turn python bools into traced arrays); re-injected at
@@ -291,6 +284,7 @@ class BDPTIntegrator:
                 ("any_thin", scene.materials.any_thin),
                 ("any_coated", scene.materials.any_coated),
                 ("any_diffusetrans", scene.materials.any_diffusetrans),
+                ("any_hair", scene.materials.any_hair),
             )
         }
 

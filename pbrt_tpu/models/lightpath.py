@@ -155,7 +155,7 @@ class LightPathIntegrator:
             )
             t1b, t2b = coordinate_system(ns)
             wo_l = to_local(isect.wo, t1b, t2b, ns)
-            params = scene.materials.gather(isect.mat)
+            params = bxdf.surface_params(scene, isect, lam)
 
             def radiance_fn(wi_c):
                 wi_l = to_local(wi_c, t1b, t2b, ns)

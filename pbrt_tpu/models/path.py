@@ -138,14 +138,7 @@ class PathIntegrator:
             )
             t1, t2 = coordinate_system(ns)
             wo_l = to_local(isect.wo, t1, t2, ns)
-            params = scene.materials.gather(isect.mat)
-            if scene.textures is not None:
-                from ..textures.buffers import evaluate_albedo_coeffs
-
-                params["albedo_coeffs"] = evaluate_albedo_coeffs(
-                    scene.textures, params["albedo_tex"], isect.uv, isect.p,
-                    params["albedo_coeffs"],
-                )
+            params = bxdf.surface_params(scene, isect, lam)
 
             dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
 

@@ -340,14 +340,7 @@ class VolPathIntegrator:
             )
             t1f, t2f = coordinate_system(ns)
             wo_l = to_local(isect.wo, t1f, t2f, ns)
-            params = scene.materials.gather(isect.mat)
-            if scene.textures is not None:
-                from ..textures.buffers import evaluate_albedo_coeffs
-
-                params["albedo_coeffs"] = evaluate_albedo_coeffs(
-                    scene.textures, params["albedo_tex"], isect.uv, isect.p,
-                    params["albedo_coeffs"],
-                )
+            params = bxdf.surface_params(scene, isect, lam)
 
             if self.use_nee and have_lights:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 6)

@@ -105,3 +105,44 @@ def test_sigma_a_mappings():
     dark = hair.sigma_a_from_reflectance(jnp.asarray([0.1]), 0.3)
     light = hair.sigma_a_from_reflectance(jnp.asarray([0.8]), 0.3)
     assert float(dark[0]) > float(light[0]) > 0.0
+
+
+HAIR_SCENE = """
+Integrator "path" "integer maxdepth" [ 4 ]
+Sampler "independent" "integer pixelsamples" [ 8 ]
+Film "rgb" "integer xresolution" [ 24 ] "integer yresolution" [ 24 ]
+LookAt 0.5 0.5 -1.4   0.5 0.5 0.5   0 1 0
+Camera "perspective" "float fov" [ 40 ]
+WorldBegin
+Material "diffuse" "rgb reflectance" [ 0.6 0.6 0.6 ]
+Shape "trianglemesh"
+    "point3 P" [ 0 0 0   1 0 0   1 0 1   0 0 1 ]
+    "integer indices" [ 0 2 1   0 3 2 ]
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [ 12 12 12 ]
+  Shape "trianglemesh"
+      "point3 P" [ 0.3 0.99 0.3   0.7 0.99 0.3   0.7 0.99 0.7   0.3 0.99 0.7 ]
+      "integer indices" [ 0 1 2   0 2 3 ]
+AttributeEnd
+AttributeBegin
+  Material "hair" "float eumelanin" [ 0.4 ] "float beta_m" [ 0.3 ]
+  Translate 0.5 0.4 0.4
+  Shape "sphere" "float radius" [ 0.25 ]
+AttributeEnd
+"""
+
+
+def test_hair_material_end_to_end():
+    """Parse + render a scene with a hair material; image stays finite and
+    the hair object scatters visible energy."""
+    from pbrt_tpu.io.parser import load_pbrt_string
+    from pbrt_tpu.render import render
+
+    scene, camera, settings = load_pbrt_string(HAIR_SCENE)
+    assert scene.materials.any_hair
+    img = np.asarray(
+        render(scene, camera, settings["integrator"], spp=8,
+               samples_per_pass=4)
+    )
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005
