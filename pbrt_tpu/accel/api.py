@@ -89,6 +89,28 @@ def closest(scene, o, d, tmax=None) -> Interaction:
             sph_better, gather_rows(geom.sph_light, sph_safe), light
         )
 
+    dpdu = jnp.zeros_like(o)
+    n_crv = geom.num_curves
+    if n_crv > 0:
+        t_c, c_idx, u_c, v_c = dense.curve_best(geom, o, d, tmax)
+        crv_better = t_c < t
+        crv_safe = jnp.clip(jnp.maximum(c_idx, 0), 0, n_crv - 1)
+        cr = gather_rows(geom.crv, crv_safe)
+        tang = normalize(cr[:, 3:6] - cr[:, 0:3])
+        wo = -d
+        n_c = wo - jnp.sum(tang * wo, axis=-1, keepdims=True) * tang
+        n_c = n_c / jnp.maximum(
+            jnp.linalg.norm(n_c, axis=-1, keepdims=True), 1e-12
+        )
+        t = jnp.where(crv_better, t_c, t)
+        prim = jnp.where(crv_better, geom.num_triangles + n_sph + c_idx, prim)
+        u = jnp.where(crv_better, u_c, u)
+        v = jnp.where(crv_better, v_c, v)
+        ng = jnp.where(crv_better[:, None], n_c, ng)
+        mat = jnp.where(crv_better, gather_rows(geom.crv_mat, crv_safe), mat)
+        light = jnp.where(crv_better, -1, light)
+        dpdu = jnp.where(crv_better[:, None], tang, dpdu)
+
     valid = prim >= 0
     p = jnp.where(valid[:, None], o + t[:, None] * d, 0.0)
     return Interaction(
@@ -101,6 +123,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         mat=jnp.where(valid, mat, 0),
         light=jnp.where(valid, light, -1),
         prim=prim,
+        dpdu=dpdu,
     )
 
 
@@ -126,4 +149,7 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
             jnp.arange(t_s.shape[1])[None, :] < geom.num_spheres, t_s, _INF
         )
         occ = occ | jnp.any(jnp.isfinite(t_s), axis=1)
+    if geom.num_curves > 0:
+        t_c, c_idx, _, _ = dense.curve_best(geom, o, d, tmax)
+        occ = occ | (c_idx >= 0)
     return occ

@@ -117,6 +117,81 @@ def _intersect_sph_block(o, d, tmax, blk):
     return jnp.where(hit, t, INF)
 
 
+def _crv_soa(crv):
+    """(C,8) [p0 p1 r0 r1] -> component SOA padded to a lane multiple."""
+    c = crv.shape[0]
+    cpad = _pad_lanes(c)
+    names = ("ax", "ay", "az", "bx", "by", "bz", "r0", "r1")
+    out = {
+        n: jnp.pad(crv[:, i], (0, cpad - c)) for i, n in enumerate(names)
+    }
+    return out, cpad
+
+
+def _crv_soa_full(geom):
+    """Curve SOA including the per-segment curve-parameter span."""
+    out, cpad = _crv_soa(geom.crv)
+    c = geom.num_curves
+    out["u0"] = jnp.pad(geom.crv_u[:, 0], (0, cpad - c))
+    out["u1"] = jnp.pad(geom.crv_u[:, 1], (0, cpad - c))
+    return out, cpad
+
+
+def _intersect_crv_block(o, d, tmax, blk):
+    """Ray vs round curve segment on (N, B) components.
+
+    The reference's leaf test (shapes.cpp Curve::RecursiveIntersect, final
+    depth): closest approach between the ray and the segment axis, hit when
+    the perpendicular distance is within the lerped local radius. t is pulled
+    forward by sqrt(r^2 - dist^2) so round curves occlude like thin cylinders.
+
+    Returns (t, s, hsign) each (N, B): s = fraction along the segment,
+    hsign = signed offset / radius in [-1, 1] (HairBxDF's h, sign from the
+    (ray x tangent) binormal).
+    """
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    axp, ayp, azp = blk["ax"][None], blk["ay"][None], blk["az"][None]
+    ux = blk["bx"][None] - axp
+    uy = blk["by"][None] - ayp
+    uz = blk["bz"][None] - azp
+    w0x = axp - ox
+    w0y = ayp - oy
+    w0z = azp - oz
+
+    A = ux * ux + uy * uy + uz * uz
+    B = ux * dx + uy * dy + uz * dz
+    D = ux * w0x + uy * w0y + uz * w0z
+    E = dx * w0x + dy * w0y + dz * w0z
+    denom = A - B * B
+    s = jnp.where(denom > 1e-12, (B * E - D) / jnp.where(denom > 1e-12, denom, 1.0), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t_ca = s * B + E  # ray parameter of closest approach
+    # Perpendicular offset vector c = (o + t*d) - (a + s*u)
+    cx = t_ca * dx - w0x - s * ux
+    cy = t_ca * dy - w0y - s * uy
+    cz = t_ca * dz - w0z - s * uz
+    dist2 = cx * cx + cy * cy + cz * cz
+    r = blk["r0"][None] + s * (blk["r1"][None] - blk["r0"][None])
+    thick = jnp.sqrt(jnp.maximum(r * r - dist2, 0.0))
+    t = t_ca - thick
+    hit = (
+        (dist2 <= r * r)
+        & (r > 0.0)
+        & (t > 1e-5)
+        & (t < tmax[:, None])
+    )
+    # Signed offset: binormal = d x tangent (unnormalized scale cancels in
+    # the sign; magnitude from dist/r keeps |h| correct).
+    bnx = dy * uz - dz * uy
+    bny = dz * ux - dx * uz
+    bnz = dx * uy - dy * ux
+    side = cx * bnx + cy * bny + cz * bnz
+    h = jnp.sqrt(dist2) / jnp.maximum(r, 1e-12)
+    h = jnp.clip(jnp.where(side >= 0.0, h, -h), -1.0, 1.0)
+    return jnp.where(hit, t, INF), s, h
+
+
 def _fold_min(best, t_blk, u_blk, v_blk, block_base):
     """Fold a block's per-ray minima into the running (t, idx, u, v).
 
@@ -204,17 +279,33 @@ def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
             jnp.int32(n_tri),
         )
 
+    if geom.num_curves > 0:
+        soa, cp = _crv_soa_full(geom)
+
+        def foldc(carry, blk, base):
+            t, s, h = _intersect_crv_block(o, d, tmax, blk)
+            u_g = blk["u0"][None] + s * (blk["u1"][None] - blk["u0"][None])
+            return _fold_min(carry, t, u_g, 0.5 * (h + 1.0), base)
+
+        best = _scan_tri_blocks(
+            soa, cp, o, d, tmax, foldc,
+            (best[0], best[1] - jnp.int32(n_tri + n_sph), best[2], best[3]),
+        )
+        best = (best[0], best[1] + jnp.int32(n_tri + n_sph), best[2], best[3])
+
     return assemble_interaction(geom, o, d, best)
 
 
 def assemble_interaction(geom: GeometryBuffers, o, d, best) -> Interaction:
     """Build the Interaction SOA from a (t, prim_idx, u, v) best-hit tuple.
 
-    prim indices < num_triangles are triangles; the rest are spheres.
+    prim index ranges: [0, T) triangles, [T, T+S) spheres, [T+S, T+S+C)
+    curve segments.
     """
     n_rays = o.shape[0]
     n_tri = geom.num_triangles
     n_sph = geom.num_spheres
+    n_crv = geom.num_curves
     t, idx, u, v = best
     valid = idx >= 0
     idx_safe = jnp.maximum(idx, 0)
@@ -247,6 +338,25 @@ def assemble_interaction(geom: GeometryBuffers, o, d, best) -> Interaction:
     ng = jnp.where(is_tri[:, None], n_tri_geo, n_sph_geo)
     mat = jnp.where(is_tri, mat_tri, mat_sph)
     light = jnp.where(is_tri, light_tri, light_sph)
+    dpdu = jnp.zeros_like(o)
+
+    if n_crv > 0:
+        is_crv = valid & (idx >= n_tri + n_sph)
+        crv_idx = jnp.clip(idx_safe - n_tri - n_sph, 0, n_crv - 1)
+        cr = gather_rows(geom.crv, crv_idx)
+        tang = normalize(cr[:, 3:6] - cr[:, 0:3])
+        # Camera-facing normal perpendicular to the fiber axis: the hair
+        # BSDF's frame needs only (tangent, any consistent normal-plane
+        # basis); the azimuthal origin pairs with hsign from the ray test.
+        wo = -d
+        n_c = wo - dot(tang, wo, keepdims=True) * tang
+        n_c = n_c / jnp.maximum(
+            jnp.linalg.norm(n_c, axis=-1, keepdims=True), 1e-12
+        )
+        ng = jnp.where(is_crv[:, None], n_c, ng)
+        mat = jnp.where(is_crv, gather_rows(geom.crv_mat, crv_idx), mat)
+        light = jnp.where(is_crv, -1, light)
+        dpdu = jnp.where(is_crv[:, None], tang, dpdu)
 
     return Interaction(
         valid=valid,
@@ -258,6 +368,7 @@ def assemble_interaction(geom: GeometryBuffers, o, d, best) -> Interaction:
         mat=jnp.where(valid, mat, 0),
         light=jnp.where(valid, light, -1),
         prim=idx,
+        dpdu=dpdu,
     )
 
 
@@ -284,7 +395,39 @@ def intersect_any(geom: GeometryBuffers, o, d, tmax) -> jnp.ndarray:
         t_s = _intersect_sph_block(o, d, tmax, sblk)
         occluded = occluded | jnp.any(jnp.isfinite(t_s), axis=1)
 
+    if geom.num_curves > 0:
+        csoa, cp = _crv_soa(geom.crv)
+
+        def foldc(carry, blk, base):
+            t, _, _ = _intersect_crv_block(o, d, tmax, blk)
+            return carry | jnp.any(jnp.isfinite(t), axis=1)
+
+        occluded = _scan_tri_blocks(csoa, cp, o, d, tmax, foldc, occluded)
+
     return occluded
+
+
+def curve_best(geom: GeometryBuffers, o, d, tmax):
+    """Best curve-segment hit for merging into an accel path's result.
+
+    Returns (t, seg_idx, u, v) with seg_idx = -1 on miss; u is the global
+    curve parameter, v = (h + 1) / 2.
+    """
+    n_rays = o.shape[0]
+    init = (
+        jnp.full((n_rays,), INF, o.dtype),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays,), o.dtype),
+        jnp.zeros((n_rays,), o.dtype),
+    )
+    soa, cp = _crv_soa_full(geom)
+
+    def foldc(carry, blk, base):
+        t, s, h = _intersect_crv_block(o, d, tmax, blk)
+        u_g = blk["u0"][None] + s * (blk["u1"][None] - blk["u0"][None])
+        return _fold_min(carry, t, u_g, 0.5 * (h + 1.0), base)
+
+    return _scan_tri_blocks(soa, cp, o, d, tmax, foldc, init)
 
 
 def offset_ray_origin(p, n, d):

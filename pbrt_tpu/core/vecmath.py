@@ -90,6 +90,25 @@ def coordinate_system(v):
     return t1, t2
 
 
+def shading_frame(ns, dpdu):
+    """Shading-frame tangents (t1, t2) for normal ns and optional tangent.
+
+    Where dpdu is nonzero (curve hits carry the fiber tangent) the frame is
+    anchored to it — t1 = dpdu orthogonalized against ns — because HairBxDF
+    measures longitudinal angles from the local x-axis (reference
+    hair.h / SurfaceInteraction shading frame, interaction.h:285). Elsewhere
+    falls back to the branchless Duff basis.
+    """
+    t1d, t2d = coordinate_system(ns)
+    has_t = jnp.sum(dpdu * dpdu, axis=-1, keepdims=True) > 1e-12
+    tang = dpdu - dot(dpdu, ns, keepdims=True) * ns
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(tang * tang, axis=-1, keepdims=True), 1e-24))
+    t1c = tang / norm
+    t1 = jnp.where(has_t, t1c, t1d)
+    t2 = jnp.where(has_t, cross(ns, t1c), t2d)
+    return t1, t2
+
+
 def to_local(v, t1, t2, n):
     """World -> shading-local (z = n) coordinates."""
     return jnp.stack([dot(v, t1), dot(v, t2), dot(v, n)], axis=-1)

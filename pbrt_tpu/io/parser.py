@@ -42,6 +42,7 @@ from ..materials.buffers import (
     MaterialBuffers,
 )
 from ..models.path import PathIntegrator
+from ..shapes.curve import build_curve_segments
 from ..models.volpath import VolPathIntegrator
 from ..scene import Scene
 from ..shapes.geometry import GeometryBuffers
@@ -170,6 +171,7 @@ class PbrtParser:
         self.tri_light = []
         self.spheres = []
         self.sph_mat = []
+        self.curves = []
         self.area_lights = []
         self.points = []
         self.spots = []
@@ -644,7 +646,22 @@ class PbrtParser:
             world = self._pts(np.asarray(tris, np.float32).reshape(-1, 3))
             tris = world.reshape(-1, 3, 3)
         elif stype == "curve":
-            self.warnings.append(f"shape {stype} not yet supported; skipped")
+            # Reference: shapes.cpp CreateCurve — cubic bezier/bspline
+            # control points, width/width0/width1 as FULL widths, types
+            # flat/cylinder/ribbon (we treat all as round; build_curve_
+            # segments flattens to linear swept-sphere segments).
+            pts = _get_vec(p, "P").reshape(-1, 3)
+            world = self._pts(pts)
+            w = float(_get(p, "width", 1.0))
+            self.curves.append(
+                {
+                    "cp": world.astype(np.float32),
+                    "basis": _get(p, "basis", "bezier"),
+                    "width0": float(_get(p, "width0", w)),
+                    "width1": float(_get(p, "width1", w)),
+                    "mat": self.cur_material,
+                }
+            )
             return
         else:
             self.warnings.append(f"shape {stype} unknown; skipped")
@@ -693,6 +710,16 @@ class PbrtParser:
             if self.spheres else None,
             sph_mat=np.asarray(self.sph_mat, np.int32)
             if self.spheres else None,
+            **(
+                dict(
+                    zip(
+                        ("crv", "crv_u", "crv_mat"),
+                        build_curve_segments(self.curves),
+                    )
+                )
+                if self.curves
+                else {}
+            ),
         )
         materials = MaterialBuffers.build(self.materials)
         lights = LightBuffers.build(
@@ -720,9 +747,39 @@ class PbrtParser:
             "path": PathIntegrator, "simplepath": PathIntegrator,
             "volpath": VolPathIntegrator, "simplevolpath": VolPathIntegrator,
         }
-        integ_cls = integ_map.get(self.integrator, PathIntegrator)
         max_depth = int(_get(self.integrator_params, "maxdepth", 5))
-        integrator = integ_cls(max_depth=max_depth)
+        if self.integrator == "mlt":
+            # Reference CLI knobs: integrators.cpp:3272-3290.
+            from ..models.mlt import MLTIntegrator
+
+            integrator = MLTIntegrator(
+                base=PathIntegrator(max_depth=max_depth),
+                n_chains=int(_get(self.integrator_params, "chains", 4096)),
+                sigma=float(_get(self.integrator_params, "sigma", 0.01)),
+                p_large=float(
+                    _get(self.integrator_params, "largestepprobability", 0.3)
+                ),
+            )
+        elif self.integrator == "bdpt":
+            from ..models.bdpt import BDPTIntegrator
+
+            integrator = BDPTIntegrator(max_depth=max_depth)
+        elif self.integrator == "lightpath":
+            from ..models.lightpath import LightPathIntegrator
+
+            integrator = LightPathIntegrator(max_depth=max_depth)
+        elif self.integrator == "sppm":
+            from ..models.sppm import SPPMIntegrator
+
+            integrator = SPPMIntegrator(
+                max_depth=max_depth,
+                initial_radius=float(
+                    _get(self.integrator_params, "radius", 0.0)
+                ),
+            )
+        else:
+            integ_cls = integ_map.get(self.integrator, PathIntegrator)
+            integrator = integ_cls(max_depth=max_depth)
         settings = {
             "spp": self.spp,
             "sampler": self.sampler_kind,

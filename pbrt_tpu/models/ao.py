@@ -14,7 +14,7 @@ from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin
 from ..core.pytree import pytree, static_field
 from ..core.sampling import sample_cosine_hemisphere
-from ..core.vecmath import coordinate_system, dot, from_local
+from ..core.vecmath import coordinate_system, dot, from_local, shading_frame
 from ..scene import Scene
 from .path import PathIntegrator
 
@@ -121,7 +121,7 @@ class RandomWalkIntegrator:
                     vdot(isect.n, isect.wo, keepdims=True),
                 )
             )
-            t1, t2 = coordinate_system(ns)
+            t1, t2 = shading_frame(ns, isect.dpdu)
             params = bxdf_mod.surface_params(scene, isect, lam)
             u = sampler.get_2d(pixel, sample_idx, 8 + depth * 4)
             wi = sample_uniform_sphere(jnp.stack(u, axis=-1))

@@ -29,7 +29,7 @@ from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin
 from ..core.pytree import pytree, static_field
 from ..core.sampling import sample_cosine_hemisphere, sample_uniform_triangle
-from ..core.vecmath import coordinate_system, dot, from_local, normalize, to_local
+from ..core.vecmath import coordinate_system, dot, from_local, normalize, shading_frame, to_local
 from ..lights.buffers import eval_emission
 from ..core.gather import gather_rows
 from ..materials import bxdf
@@ -115,7 +115,7 @@ class BDPTIntegrator:
                 _to_area(pdf_dir, p_prev, isect.p, ns),
                 0.0,
             )
-            t1, t2 = coordinate_system(ns)
+            t1, t2 = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1, t2, ns)
             params = bxdf.surface_params(scene, isect, lam)
 

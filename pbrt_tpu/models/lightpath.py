@@ -33,6 +33,7 @@ from ..core.vecmath import (
     dot,
     from_local,
     normalize,
+    shading_frame,
     to_local,
 )
 from ..lights.buffers import eval_emission
@@ -153,7 +154,7 @@ class LightPathIntegrator:
                     dot(isect.n, isect.wo, keepdims=True),
                 )
             )
-            t1b, t2b = coordinate_system(ns)
+            t1b, t2b = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1b, t2b, ns)
             params = bxdf.surface_params(scene, isect, lam)
 

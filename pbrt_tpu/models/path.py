@@ -26,7 +26,7 @@ from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
-from ..core.vecmath import coordinate_system, dot, from_local, to_local
+from ..core.vecmath import coordinate_system, dot, from_local, shading_frame, to_local
 from ..materials import bxdf
 from ..scene import Scene
 
@@ -136,7 +136,7 @@ class PathIntegrator:
                 jnp.where(dot(isect.n, isect.wo, keepdims=True) == 0.0, 1.0,
                           dot(isect.n, isect.wo, keepdims=True))
             )
-            t1, t2 = coordinate_system(ns)
+            t1, t2 = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1, t2, ns)
             params = bxdf.surface_params(scene, isect, lam)
 

@@ -23,7 +23,7 @@ from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
-from ..core.vecmath import coordinate_system, dot, from_local, to_local
+from ..core.vecmath import coordinate_system, dot, from_local, shading_frame, to_local
 from ..materials import bxdf
 from ..media import phase as ph
 from ..scene import Scene
@@ -338,7 +338,7 @@ class VolPathIntegrator:
                     dot(isect.n, isect.wo, keepdims=True),
                 )
             )
-            t1f, t2f = coordinate_system(ns)
+            t1f, t2f = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1f, t2f, ns)
             params = bxdf.surface_params(scene, isect, lam)
 

@@ -153,8 +153,11 @@ def _interleave_bits16(x):
 
 
 def as_sampler(x, spp: int = 16) -> "Sampler":
-    """Coerce a Sampler, or an int/array seed (-> independent), to a Sampler."""
-    if isinstance(x, Sampler):
+    """Coerce a Sampler, or an int/array seed (-> independent), to a Sampler.
+
+    Any object with a get_1d attribute passes through unchanged (e.g. the
+    primary-sample-space replay sampler MLT drives integrators with)."""
+    if isinstance(x, Sampler) or hasattr(x, "get_1d"):
         return x
     return Sampler(seed=jnp.asarray(x, jnp.int32), kind="independent", spp=spp)
 

@@ -26,6 +26,9 @@ class GeometryBuffers:
     sph:        (S, 4)    float32 sphere center + radius
     sph_mat:    (S,)      int32
     sph_light:  (S,)      int32
+    crv:        (C, 8)    float32 curve segments [p0 p1 r0 r1] (shapes/curve.py)
+    crv_u:      (C, 2)    float32 per-segment curve-parameter span [u0 u1]
+    crv_mat:    (C,)      int32
     """
 
     tri_verts: jnp.ndarray
@@ -34,11 +37,14 @@ class GeometryBuffers:
     sph: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
+    crv: jnp.ndarray
+    crv_u: jnp.ndarray
+    crv_mat: jnp.ndarray
 
     @staticmethod
     def build(
         tri_verts=None, tri_mat=None, tri_light=None, spheres=None,
-        sph_mat=None, sph_light=None,
+        sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
     ) -> "GeometryBuffers":
         def _arr(x, shape, dtype):
             if x is None:
@@ -47,6 +53,7 @@ class GeometryBuffers:
 
         t = 0 if tri_verts is None else len(tri_verts)
         s = 0 if spheres is None else len(spheres)
+        c = 0 if crv is None else len(crv)
         return GeometryBuffers(
             tri_verts=_arr(tri_verts, (t, 3, 3), jnp.float32),
             tri_mat=_arr(tri_mat, (t,), jnp.int32),
@@ -62,6 +69,9 @@ class GeometryBuffers:
                 if sph_light is None
                 else jnp.asarray(sph_light, jnp.int32)
             ),
+            crv=_arr(crv, (c, 8), jnp.float32),
+            crv_u=_arr(crv_u, (c, 2), jnp.float32),
+            crv_mat=_arr(crv_mat, (c,), jnp.int32),
         )
 
     @property
@@ -71,6 +81,10 @@ class GeometryBuffers:
     @property
     def num_spheres(self) -> int:
         return self.sph.shape[0]
+
+    @property
+    def num_curves(self) -> int:
+        return self.crv.shape[0]
 
 
 @pytree
@@ -89,7 +103,8 @@ class Interaction:
     wo: jnp.ndarray  # (N, 3) outgoing (toward origin)
     mat: jnp.ndarray  # (N,) int32 material index
     light: jnp.ndarray  # (N,) int32 area light index or -1
-    prim: jnp.ndarray  # (N,) int32 primitive id (triangles then spheres)
+    prim: jnp.ndarray  # (N,) int32 primitive id (triangles, spheres, curves)
+    dpdu: jnp.ndarray  # (N, 3) surface tangent; zero => caller picks any frame
 
 
 # --- Host-side mesh builders (scene construction helpers) -------------------
