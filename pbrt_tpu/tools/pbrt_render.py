@@ -59,19 +59,60 @@ def main(argv=None):
 
     integrator = settings["integrator"]
     if args.maxdepth is not None:
-        integrator = integrator.replace(max_depth=args.maxdepth)
+        if hasattr(integrator, "base"):  # MLT wraps a base integrator
+            integrator = integrator.replace(
+                base=integrator.base.replace(max_depth=args.maxdepth)
+            )
+        else:
+            integrator = integrator.replace(max_depth=args.maxdepth)
     spp = args.spp or settings["spp"]
     spp = max(args.samples_per_pass, spp - spp % args.samples_per_pass)
 
     t0 = time.perf_counter()
-    img = render(
-        scene, camera, integrator,
-        spp=spp,
-        seed=args.seed,
-        samples_per_pass=args.samples_per_pass,
-        jitter=not args.disable_pixel_jitter,
-        sampler_kind=settings["sampler"],
-    )
+    # Specialty integrators (MLT/SPPM/BDPT/LightPath) own their render loop;
+    # wavefront integrators go through the shared sample-wave renderer
+    # (the reference's equivalent dispatch: cpu/render.cpp RenderCPU).
+    from ..models.bdpt import BDPTIntegrator
+    from ..models.lightpath import LightPathIntegrator
+    from ..models.mlt import MLTIntegrator
+    from ..models.sppm import SPPMIntegrator
+
+    if isinstance(integrator, MLTIntegrator):
+        from ..models.mlt import render_mlt
+
+        img = render_mlt(
+            scene, camera, max_depth=integrator.base.max_depth,
+            seed=args.seed, mutations_per_pixel=spp,
+            n_chains=integrator.n_chains, sigma=integrator.sigma,
+            p_large=integrator.p_large,
+        )
+    elif isinstance(integrator, SPPMIntegrator):
+        img = integrator.render(scene, camera, n_iterations=spp,
+                                seed=args.seed)
+    elif isinstance(integrator, BDPTIntegrator):
+        from ..models.bdpt import render_bdpt
+
+        img = render_bdpt(
+            scene, camera, spp=spp, max_depth=integrator.max_depth,
+            seed=args.seed,
+        )
+    elif isinstance(integrator, LightPathIntegrator):
+        from ..models.lightpath import render_lightpath
+
+        nx, ny = camera.resolution
+        img = render_lightpath(
+            scene, camera, n_paths_total=spp * nx * ny,
+            max_depth=integrator.max_depth, seed=args.seed,
+        )
+    else:
+        img = render(
+            scene, camera, integrator,
+            spp=spp,
+            seed=args.seed,
+            samples_per_pass=args.samples_per_pass,
+            jitter=not args.disable_pixel_jitter,
+            sampler_kind=settings["sampler"],
+        )
     img = np.asarray(img)
     dt = time.perf_counter() - t0
 
