@@ -278,3 +278,98 @@ def read_exr(path: str):
                 img[yy - y0, :, ci] = row.astype(np.float32)
                 dp += nb
     return img, [c for c, _ in chans], metadata
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode a baseline 8/16-bit PNG (gray/RGB/RGBA, non-interlaced).
+
+    Reference analogue: lodepng usage in util/image.cpp. Returns (h, w, C)
+    float32 in [0, 1] (raw values; sRGB decode is the caller's call).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG file"
+    pos = 8
+    idat = b""
+    w = h = depth = ctype = None
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            assert ilace == 0, "interlaced PNG unsupported"
+            assert depth in (8, 16), f"PNG bit depth {depth} unsupported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    bpp = nch * (depth // 8)
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros((stride,), np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], np.uint8).copy()
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        out[y] = line
+        prev = line
+    if depth == 8:
+        img = out.reshape(h, w, nch).astype(np.float32) / 255.0
+    else:
+        img = (
+            out.reshape(h, w, nch, 2).astype(np.uint16) << np.array([8, 0])
+        ).sum(-1).astype(np.float32) / 65535.0
+    return img
+
+
+def read_image_rgb(path: str) -> np.ndarray:
+    """Load any supported image as linear-RGB float32 (h, w, 3).
+
+    EXR/PFM are linear already; PNG is sRGB-decoded (the reference's
+    Image::Read gamma handling, util/image.cpp).
+    """
+    low = path.lower()
+    if low.endswith(".exr"):
+        img, chans, _ = read_exr(path)
+        if all(c in chans for c in "RGB"):
+            return np.stack(
+                [img[..., chans.index(c)] for c in "RGB"], axis=-1
+            ).astype(np.float32)
+        return np.repeat(img[..., :1], 3, axis=-1).astype(np.float32)
+    if low.endswith(".pfm"):
+        img = np.asarray(read_pfm(path), np.float32)
+        return img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+    if low.endswith(".png"):
+        img = read_png(path)[..., :3]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        srgb = img <= 0.04045
+        return np.where(
+            srgb, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+        ).astype(np.float32)
+    raise ValueError(f"unsupported image format: {path}")

@@ -147,7 +147,10 @@ def _get(params, name, default=None):
 
 def _get_vec(params, name, default=None):
     if name in params:
-        return np.asarray(params[name][1], np.float64)
+        ptype, vals = params[name]
+        if ptype == "texture":  # texture-typed: resolved via _tex_ref
+            return default
+        return np.asarray(vals, np.float64)
     return default
 
 
@@ -172,6 +175,8 @@ class PbrtParser:
         self.spheres = []
         self.sph_mat = []
         self.curves = []
+        self.tex_specs = []
+        self.named_tex = {}
         self.area_lights = []
         self.points = []
         self.spots = []
@@ -353,6 +358,13 @@ class PbrtParser:
         refl = _get_vec(p, "reflectance")
         if refl is None:
             refl = _get_vec(p, "albedo")
+        # Texture-typed reflectance binds the named texture by id
+        # (TextureParameterDictionary::GetSpectrumTexture, paramdict.h:204).
+        tex_id = self._tex_ref(p, "reflectance")
+        if tex_id < 0:
+            tex_id = self._tex_ref(p, "albedo")
+        if tex_id >= 0:
+            spec["albedo_texture"] = tex_id
         if mtype in ("diffuse", "subsurface", "matte"):
             spec["kind"] = MAT_DIFFUSE
             if mtype != "diffuse":
@@ -444,11 +456,133 @@ class PbrtParser:
         self.cur_material = self.named_materials.get(name, 0)
 
     def _d_Texture(self, ts):
+        """Texture "name" "type" "class" params (scene.cpp Texture directive
+        -> NamedTextures; here each named texture becomes one TextureBuffers
+        row and materials bind it by id)."""
         name = ts.next()[1:-1]
-        ts.next()  # data type
-        ts.next()  # class
-        self.textures[name] = _parse_params(ts)
-        self.warnings.append(f"texture {name} stored but not yet bound")
+        ts.next()  # data type ("spectrum" | "float" — same row layout here)
+        tclass = ts.next()[1:-1]
+        p = _parse_params(ts)
+        spec = self._texture_spec(tclass, p)
+        if spec is None:
+            self.warnings.append(f"texture class {tclass} unsupported; "
+                                 f"'{name}' bound as 0.5 gray constant")
+            spec = {"kind": "constant", "rgb0": (0.5, 0.5, 0.5)}
+        self.named_tex[name] = len(self.tex_specs)
+        self.tex_specs.append(spec)
+
+    def _tex_ref(self, p, key):
+        """Resolve a parameter declared as `"texture key" ["name"]` to a
+        texture id, or -1 when absent / not texture-typed."""
+        if key in p and p[key][0] == "texture":
+            tname = p[key][1][0]
+            if tname in self.named_tex:
+                return self.named_tex[tname]
+            self.warnings.append(f"texture '{tname}' referenced before "
+                                 "definition; ignored")
+        return -1
+
+    def _texture_spec(self, tclass, p):
+        """Translate one Texture directive to a TextureBuffers spec dict
+        (CreateTexture dispatch, textures.cpp)."""
+
+        def rgb(key, default):
+            v = _get_vec(p, key)
+            if v is None:
+                return default
+            v = np.atleast_1d(np.asarray(v, np.float64))
+            return tuple(v) if v.size == 3 else (float(v[0]),) * 3
+
+        spec = {
+            "uscale": float(_get(p, "uscale", 1.0)),
+            "vscale": float(_get(p, "vscale", 1.0)),
+            "udelta": float(_get(p, "udelta", 0.0)),
+            "vdelta": float(_get(p, "vdelta", 0.0)),
+            "mapping": _get(p, "mapping", "uv"),
+        }
+        v1 = _get_vec(p, "v1")
+        v2 = _get_vec(p, "v2")
+        if v1 is not None:
+            spec["aux0"] = tuple(v1)
+        if v2 is not None:
+            spec["aux1"] = tuple(v2)
+        if tclass == "constant":
+            spec.update(kind="constant", rgb0=rgb("value", (1.0, 1.0, 1.0)))
+        elif tclass in ("checkerboard", "checker"):
+            spec.update(
+                kind="checker",
+                rgb0=rgb("tex1", (1.0, 1.0, 1.0)),
+                rgb1=rgb("tex2", (0.0, 0.0, 0.0)),
+                sub0=self._tex_ref(p, "tex1"),
+                sub1=self._tex_ref(p, "tex2"),
+            )
+        elif tclass == "scale":
+            spec.update(
+                kind="scale",
+                rgb0=rgb("tex", (1.0, 1.0, 1.0)),
+                sub0=self._tex_ref(p, "tex"),
+                f0=float(_get(p, "scale", 1.0)),
+                sub2=self._tex_ref(p, "scale"),
+            )
+        elif tclass == "mix":
+            spec.update(
+                kind="mix",
+                rgb0=rgb("tex1", (0.0, 0.0, 0.0)),
+                rgb1=rgb("tex2", (1.0, 1.0, 1.0)),
+                sub0=self._tex_ref(p, "tex1"),
+                sub1=self._tex_ref(p, "tex2"),
+                f0=float(_get(p, "amount", 0.5)),
+                sub2=self._tex_ref(p, "amount"),
+            )
+        elif tclass == "directionmix":
+            d = _get_vec(p, "dir")
+            spec.update(
+                kind="directionmix",
+                rgb0=rgb("tex1", (0.0, 0.0, 0.0)),
+                rgb1=rgb("tex2", (1.0, 1.0, 1.0)),
+                sub0=self._tex_ref(p, "tex1"),
+                sub1=self._tex_ref(p, "tex2"),
+                aux0=tuple(d) if d is not None else (0.0, 1.0, 0.0),
+            )
+        elif tclass == "bilerp":
+            spec.update(
+                kind="bilerp",
+                rgb0=rgb("v00", (0.0, 0.0, 0.0)),
+                rgb1=rgb("v01", (1.0, 1.0, 1.0)),
+                rgb2=rgb("v10", (0.0, 0.0, 0.0)),
+                rgb3=rgb("v11", (1.0, 1.0, 1.0)),
+            )
+        elif tclass == "dots":
+            spec.update(
+                kind="dots",
+                rgb0=rgb("inside", (1.0, 1.0, 1.0)),
+                rgb1=rgb("outside", (0.0, 0.0, 0.0)),
+            )
+        elif tclass in ("fbm", "wrinkled", "windy", "marble"):
+            spec.update(kind=tclass)
+            if tclass == "marble":
+                spec.update(
+                    rgb0=(0.08, 0.06, 0.06), rgb1=(0.9, 0.87, 0.83),
+                    uscale=float(_get(p, "scale", 1.0)),
+                )
+        elif tclass == "imagemap":
+            fname = _get(p, "filename")
+            img = None
+            if fname:
+                path = os.path.join(self.base_dir, fname)
+                try:
+                    from .image import read_image_rgb
+
+                    img = read_image_rgb(path)
+                except Exception as e:  # missing/unsupported file
+                    self.warnings.append(f"imagemap '{fname}': {e}")
+            if img is None:
+                img = np.full((2, 2, 3), 0.5, np.float32)
+            sc = float(_get(p, "scale", 1.0))
+            spec.update(kind="image", rgb_image=np.asarray(img) * sc)
+        else:
+            return None
+        return spec
 
     # -- lights --------------------------------------------------------------
 
@@ -729,7 +863,14 @@ class PbrtParser:
             distants=self.distants,
             infinite=self.infinite,
         )
-        scene = Scene(geom=geom, materials=materials, lights=lights)
+        textures = None
+        if self.tex_specs:
+            from ..textures.buffers import TextureBuffers
+
+            textures = TextureBuffers.build(self.tex_specs)
+        scene = Scene(
+            geom=geom, materials=materials, lights=lights, textures=textures
+        )
         scene = scene.with_accel()
 
         c2w_np = np.linalg.inv(self.world_to_camera)

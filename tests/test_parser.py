@@ -196,3 +196,51 @@ def test_emissive_sphere_and_bilinear_patch():
     )
     assert np.isfinite(img).all()
     assert img.mean() > 1e-4
+
+
+def test_texture_directive_binding(tmp_path):
+    """Texture directives become TextureBuffers rows; materials bind by id;
+    nested (scale -> imagemap) references resolve (scene.cpp NamedTextures
+    + TextureParameterDictionary::GetSpectrumTexture)."""
+    import numpy as np
+    from pbrt_tpu.io.image import write_png
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:, :2] = (1.0, 0.1, 0.1)
+    img[:, 2:] = (0.1, 0.1, 1.0)
+    write_png(str(tmp_path / "wall.png"), img)
+    scene_file = tmp_path / "tex.pbrt"
+    scene_file.write_text(
+        """
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+Texture "wall" "spectrum" "imagemap" "string filename" ["wall.png"]
+Texture "halfwall" "spectrum" "scale" "texture tex" ["wall"] "float scale" [0.5]
+Texture "checks" "spectrum" "checkerboard" "float uscale" [4] "float vscale" [4]
+    "rgb tex1" [1 0 0] "rgb tex2" [0 0 1]
+Material "diffuse" "texture reflectance" ["halfwall"]
+Shape "trianglemesh" "integer indices" [0 1 2]
+    "point3 P" [-1 -1 4  1 -1 4  0 1 4]
+AreaLightSource "diffuse" "rgb L" [5 5 5]
+Shape "trianglemesh" "integer indices" [0 1 2]
+    "point3 P" [-1 -1 6  1 -1 6  0 1 6]
+"""
+    )
+    from pbrt_tpu.io.parser import load_pbrt
+
+    scene, camera, settings = load_pbrt(str(scene_file))
+    assert scene.textures is not None
+    assert scene.textures.n_textures == 3
+    # The bound material references texture id 1 (halfwall).
+    mat_tex = np.asarray(scene.materials.albedo_tex)
+    assert (mat_tex >= 0).any()
+    # Evaluate the scaled image texture: red half at ~0.5 reflectance.
+    import jax.numpy as jnp
+    from pbrt_tpu.textures.buffers import evaluate_rgb
+
+    uv = jnp.asarray([[0.2, 0.5], [0.8, 0.5]])
+    tid = jnp.full((2,), 1, jnp.int32)
+    v = np.asarray(evaluate_rgb(scene.textures, tid, uv, jnp.zeros((2, 3))))
+    assert v[0, 0] > 0.3 and v[0, 2] < 0.2  # scaled red side
+    assert v[1, 2] > 0.3 and v[1, 0] < 0.2  # scaled blue side
+    np.testing.assert_allclose(v[0, 0], 0.5, atol=0.12)
