@@ -177,6 +177,8 @@ class PbrtParser:
         self.curves = []
         self.tex_specs = []
         self.named_tex = {}
+        self.named_media = {}
+        self.scene_medium = None
         self.area_lights = []
         self.points = []
         self.spots = []
@@ -646,14 +648,93 @@ class PbrtParser:
             self.warnings.append(f"light {ltype} unsupported; skipped")
 
     def _d_MakeNamedMedium(self, ts):
-        ts.next()
-        _parse_params(ts)
-        self.warnings.append("named media not yet bound by the parser")
+        """MakeNamedMedium "name" "string type" ... (media.cpp Medium::Create
+        dispatch for homogeneous / uniformgrid / rgbgrid)."""
+        name = ts.next()[1:-1]
+        p = _parse_params(ts)
+        mtype = _get(p, "type", "homogeneous")
+        scale = float(_get(p, "scale", 1.0))
+        g = float(_get(p, "g", 0.0))
+        sa = _get_vec(p, "sigma_a")
+        ss = _get_vec(p, "sigma_s")
+        sa = tuple(sa) if sa is not None else (1.0, 1.0, 1.0)
+        ss = tuple(ss) if ss is not None else (1.0, 1.0, 1.0)
+        # Bounds: p0/p1 in medium space transformed by the CTM (axis-
+        # aligned subset — the general oriented transform needs the
+        # medium-space ray transform tier).
+        p0 = _get_vec(p, "p0")
+        p1 = _get_vec(p, "p1")
+        lo = np.asarray(p0 if p0 is not None else (0, 0, 0), np.float64)
+        hi = np.asarray(p1 if p1 is not None else (1, 1, 1), np.float64)
+        corners = self._pts(np.asarray(
+            [[lo[0], lo[1], lo[2]], [hi[0], hi[1], hi[2]]], np.float64
+        ))
+        blo = np.minimum(corners[0], corners[1])
+        bhi = np.maximum(corners[0], corners[1])
+        from ..media.medium import MediumBuffers
+
+        if mtype == "homogeneous":
+            med = MediumBuffers.homogeneous(
+                sa, ss, blo, bhi, g=g, scale=scale
+            )
+        elif mtype in ("uniformgrid", "grid"):
+            dens = _get_vec(p, "density")
+            nx = int(_get(p, "nx", 1))
+            ny = int(_get(p, "ny", 1))
+            nz = int(_get(p, "nz", 1))
+            if dens is None:
+                self.warnings.append(
+                    f"medium {name}: no density grid; skipped"
+                )
+                return
+            dgrid = np.asarray(dens, np.float32).reshape(nz, ny, nx)
+            le = _get_vec(p, "Le")
+            med = MediumBuffers.grid(
+                dgrid, sa, ss, blo, bhi, g=g, scale=scale,
+                le_rgb=tuple(le) if le is not None else None,
+                le_scale=float(_get(p, "Lescale", 1.0)),
+            )
+        elif mtype == "rgbgrid":
+            nx = int(_get(p, "nx", 1))
+            ny = int(_get(p, "ny", 1))
+            nz = int(_get(p, "nz", 1))
+            sag = _get_vec(p, "sigma_a")
+            ssg = _get_vec(p, "sigma_s")
+            shape = (nz, ny, nx, 3)
+            sagrid = (
+                np.asarray(sag, np.float32).reshape(shape)
+                if sag is not None and np.asarray(sag).size == nz * ny * nx * 3
+                else np.broadcast_to(np.asarray(sa, np.float32), shape)
+            )
+            ssgrid = (
+                np.asarray(ssg, np.float32).reshape(shape)
+                if ssg is not None and np.asarray(ssg).size == nz * ny * nx * 3
+                else np.broadcast_to(np.asarray(ss, np.float32), shape)
+            )
+            med = MediumBuffers.rgbgrid(
+                sagrid, ssgrid, blo, bhi, g=g, scale=scale
+            )
+        else:
+            self.warnings.append(f"medium type {mtype} unsupported; skipped")
+            return
+        self.named_media[name] = med
 
     def _d_MediumInterface(self, ts):
-        ts.next()
+        """MediumInterface "inside" "outside": binds the SCENE-LEVEL medium
+        (one medium per scene in this tier; per-shape nested interfaces are
+        the documented next step). The inside name wins; "" clears."""
+        inside = ts.next()[1:-1]
         if ts.peek() and ts.peek().startswith('"'):
-            ts.next()
+            ts.next()  # outside medium (ignored at scene level)
+        if inside:
+            if inside in self.named_media:
+                if self.scene_medium is not None:
+                    self.warnings.append(
+                        "multiple MediumInterface bindings; last one wins"
+                    )
+                self.scene_medium = self.named_media[inside]
+            else:
+                self.warnings.append(f"medium '{inside}' not defined")
 
     # -- shapes --------------------------------------------------------------
 
@@ -869,7 +950,8 @@ class PbrtParser:
 
             textures = TextureBuffers.build(self.tex_specs)
         scene = Scene(
-            geom=geom, materials=materials, lights=lights, textures=textures
+            geom=geom, materials=materials, lights=lights, textures=textures,
+            medium=self.scene_medium,
         )
         scene = scene.with_accel()
 
@@ -920,6 +1002,13 @@ class PbrtParser:
             )
         else:
             integ_cls = integ_map.get(self.integrator, PathIntegrator)
+            if self.scene_medium is not None and integ_cls is PathIntegrator:
+                # Media need the null-scattering walk; pbrt errors, we
+                # upgrade (render.cpp checks integrator/media compat).
+                integ_cls = VolPathIntegrator
+                self.warnings.append(
+                    "scene has media; integrator upgraded to volpath"
+                )
             integrator = integ_cls(max_depth=max_depth)
         settings = {
             "spp": self.spp,

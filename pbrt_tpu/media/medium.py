@@ -22,6 +22,40 @@ from ..core.pytree import pytree, static_field
 MEDIUM_NONE = "none"
 MEDIUM_HOMOGENEOUS = "homogeneous"
 MEDIUM_GRID = "grid"
+MEDIUM_RGBGRID = "rgbgrid"
+
+
+def _pool_dilate_max(vox, m):
+    """Max-pool a (nz, ny, nx) voxel field onto m^3 cells + 1-cell dilation
+    (conservative for trilinear lookups near borders; MajorantGrid,
+    media.h:105)."""
+    vox = np.asarray(vox, np.float32)
+
+    def _ceil_pad(d):
+        pads = [(-s) % m for s in d.shape]
+        return np.pad(d, [(0, p) for p in pads], mode="edge")
+
+    dp = _ceil_pad(vox)
+    z, y, x = dp.shape
+    maj = dp.reshape(m, z // m, m, y // m, m, x // m).max(axis=(1, 3, 5))
+    padded = np.pad(maj, 1, mode="edge")
+    return np.maximum.reduce(
+        [
+            padded[dz : dz + m, dy : dy + m, dx : dx + m]
+            for dz in (0, 1, 2)
+            for dy in (0, 1, 2)
+            for dx in (0, 1, 2)
+        ]
+    )
+
+
+def _rgbgrid_placeholder():
+    return dict(
+        sa_grid_coeffs=jnp.zeros((1, 1, 1, 3), jnp.float32),
+        sa_grid_scale=jnp.zeros((1, 1, 1), jnp.float32),
+        ss_grid_coeffs=jnp.zeros((1, 1, 1, 3), jnp.float32),
+        ss_grid_scale=jnp.zeros((1, 1, 1), jnp.float32),
+    )
 
 
 @pytree
@@ -40,8 +74,15 @@ class MediumBuffers:
     bounds_hi: jnp.ndarray  # (3,)
     # Density grid (kind == grid); (nz, ny, nx), unit-scaled.
     density: jnp.ndarray
-    # Coarse majorant grid of density maxima, (mz, my, mx).
+    # Coarse majorant grid of density maxima, (mz, my, mx). For rgbgrid
+    # media the entries are in SIGMA units (wavelength-max sigma_t).
     maj_grid: jnp.ndarray
+    # RGBGrid media (kind == rgbgrid): per-voxel RGBUnboundedSpectrum fits
+    # (media.h:599 RGBGridMedium; spectrum.h:569).
+    sa_grid_coeffs: jnp.ndarray  # (gz, gy, gx, 3)
+    sa_grid_scale: jnp.ndarray  # (gz, gy, gx)
+    ss_grid_coeffs: jnp.ndarray
+    ss_grid_scale: jnp.ndarray
     # Global density maximum (scalar) — the wavelength-independent majorant
     # is sigma_t_max * max_density.
     max_density: jnp.ndarray
@@ -56,6 +97,7 @@ class MediumBuffers:
             sigma_a_coeffs=z3, sigma_a_scale=z, sigma_s_coeffs=z3,
             sigma_s_scale=z, g=z, le_coeffs=z3, le_scale=z,
             bounds_lo=z3, bounds_hi=z3, density=one, maj_grid=one,
+            **_rgbgrid_placeholder(),
             max_density=jnp.ones((), jnp.float32),
             kind=MEDIUM_NONE,
         )
@@ -80,6 +122,7 @@ class MediumBuffers:
             bounds_lo=jnp.asarray(bounds_lo, jnp.float32),
             bounds_hi=jnp.asarray(bounds_hi, jnp.float32),
             density=one, maj_grid=one,
+            **_rgbgrid_placeholder(),
             max_density=jnp.ones((), jnp.float32),
             kind=MEDIUM_HOMOGENEOUS,
         )
@@ -104,28 +147,7 @@ class MediumBuffers:
             le_c, le_s = rgb2spec.fit_unbounded(
                 jnp.asarray(le_rgb, jnp.float32) * le_scale
             )
-        # Majorant grid: max-pool of density onto maj_res^3 cells, then a
-        # one-cell dilation so trilinear lookups near cell borders never
-        # exceed the local majorant (MajorantGrid semantics, media.h:105).
-        m = maj_res
-
-        def _ceil_pad(d):
-            nz, ny, nx = d.shape
-            pads = [(-s) % m for s in (nz, ny, nx)]
-            return np.pad(d, [(0, p) for p in pads], mode="edge")
-
-        dp = _ceil_pad(density)
-        z, y, x = dp.shape
-        maj = dp.reshape(m, z // m, m, y // m, m, x // m).max(axis=(1, 3, 5))
-        padded = np.pad(maj, 1, mode="edge")
-        maj = np.maximum.reduce(
-            [
-                padded[dz : dz + m, dy : dy + m, dx : dx + m]
-                for dz in (0, 1, 2)
-                for dy in (0, 1, 2)
-                for dx in (0, 1, 2)
-            ]
-        )
+        maj = _pool_dilate_max(density, maj_res)
         return MediumBuffers(
             sigma_a_coeffs=sa_c, sigma_a_scale=sa_s,
             sigma_s_coeffs=ss_c, sigma_s_scale=ss_s,
@@ -135,8 +157,56 @@ class MediumBuffers:
             bounds_hi=jnp.asarray(bounds_hi, jnp.float32),
             density=jnp.asarray(density),
             maj_grid=jnp.asarray(maj),
+            **_rgbgrid_placeholder(),
             max_density=jnp.asarray(float(density.max()), jnp.float32),
             kind=MEDIUM_GRID,
+        )
+
+    @staticmethod
+    def rgbgrid(
+        sigma_a_grid, sigma_s_grid, bounds_lo, bounds_hi, g=0.0,
+        scale=1.0, maj_res=16,
+    ) -> "MediumBuffers":
+        """Per-voxel RGB extinction (RGBGridMedium, media.h:599).
+
+        sigma_{a,s}_grid: (nz, ny, nx, 3) RGB coefficients. Each voxel's RGB
+        is lifted to an RGBUnboundedSpectrum fit at build time (the
+        reference converts per voxel at creation too, media.cpp); lookups
+        interpolate the (coeffs, scale) fields trilinearly — exact at voxel
+        centers, smooth between (interpolating fits rather than spectra is
+        the one approximation; sigmoid fits are near-linear in rgb locally).
+        The majorant grid stores the per-voxel wavelength-max sigma_t
+        computed exactly on a 32-sample lambda grid.
+        """
+        from ..core import cie  # noqa: F401  (lambda range constants live here)
+
+        sa = np.asarray(sigma_a_grid, np.float32) * scale
+        ss = np.asarray(sigma_s_grid, np.float32) * scale
+        sa_c, sa_s = rgb2spec.fit_unbounded(jnp.asarray(sa))
+        ss_c, ss_s = rgb2spec.fit_unbounded(jnp.asarray(ss))
+        lam_grid = jnp.linspace(360.0, 830.0, 32)
+        sig_t = rgb2spec.eval_unbounded(
+            sa_c.reshape(-1, 3), sa_s.reshape(-1), lam_grid[None, :]
+        ) + rgb2spec.eval_unbounded(
+            ss_c.reshape(-1, 3), ss_s.reshape(-1), lam_grid[None, :]
+        )
+        vox_max = np.asarray(jnp.max(sig_t, axis=-1)).reshape(sa.shape[:3])
+        maj = _pool_dilate_max(vox_max * 1.001, maj_res)
+        z3 = jnp.zeros((3,), jnp.float32)
+        z = jnp.zeros((), jnp.float32)
+        return MediumBuffers(
+            sigma_a_coeffs=z3, sigma_a_scale=z, sigma_s_coeffs=z3,
+            sigma_s_scale=z,
+            g=jnp.asarray(g, jnp.float32),
+            le_coeffs=z3, le_scale=z,
+            bounds_lo=jnp.asarray(bounds_lo, jnp.float32),
+            bounds_hi=jnp.asarray(bounds_hi, jnp.float32),
+            density=jnp.ones((1, 1, 1), jnp.float32),
+            maj_grid=jnp.asarray(maj),
+            sa_grid_coeffs=sa_c, sa_grid_scale=sa_s,
+            ss_grid_coeffs=ss_c, ss_grid_scale=ss_s,
+            max_density=jnp.asarray(float(vox_max.max()) * 1.001, jnp.float32),
+            kind=MEDIUM_RGBGRID,
         )
 
     # -- device-side queries (batched over rays) ----------------------------
@@ -161,16 +231,17 @@ class MediumBuffers:
         t1 = jnp.minimum(jnp.min(thi, axis=-1), t_max)
         return t0, t1
 
-    def density_at(self, p):
-        """Trilinear density lookup at world points p: (N,) in [0, max]."""
-        if self.kind != MEDIUM_GRID:
-            return jnp.ones(p.shape[:-1], p.dtype)
-        nz, ny, nx = self.density.shape
+    def _trilinear(self, field, p):
+        """Voxel-centered trilinear lookup over the medium bounds.
+
+        field: (nz, ny, nx) or (nz, ny, nx, C); returns (N,) or (N, C),
+        zero outside the bounds (pbrt GridMedium convention)."""
+        chan = field.ndim == 4
+        nz, ny, nx = field.shape[:3]
         res = jnp.asarray([nx, ny, nz], jnp.float32)
         g = (p - self.bounds_lo[None]) / jnp.maximum(
             self.bounds_hi[None] - self.bounds_lo[None], 1e-12
         )
-        # Voxel-centered samples (pbrt GridMedium convention).
         gc = g * res - 0.5
         gi = jnp.floor(gc)
         f = gc - gi
@@ -180,17 +251,46 @@ class MediumBuffers:
             xi = jnp.clip(gi[..., 0] + dx, 0, nx - 1)
             yi = jnp.clip(gi[..., 1] + dy, 0, ny - 1)
             zi = jnp.clip(gi[..., 2] + dz, 0, nz - 1)
-            return self.density[zi, yi, xi]
+            return field[zi, yi, xi]
 
         fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        if chan:
+            fx, fy, fz = fx[..., None], fy[..., None], fz[..., None]
         d00 = tap(0, 0, 0) * (1 - fx) + tap(1, 0, 0) * fx
         d10 = tap(0, 1, 0) * (1 - fx) + tap(1, 1, 0) * fx
         d01 = tap(0, 0, 1) * (1 - fx) + tap(1, 0, 1) * fx
         d11 = tap(0, 1, 1) * (1 - fx) + tap(1, 1, 1) * fx
         d0 = d00 * (1 - fy) + d10 * fy
         d1 = d01 * (1 - fy) + d11 * fy
+        out = d0 * (1 - fz) + d1 * fz
         inside = jnp.all((g >= 0.0) & (g <= 1.0), axis=-1)
-        return jnp.where(inside, d0 * (1 - fz) + d1 * fz, 0.0)
+        if chan:
+            inside = inside[..., None]
+        return jnp.where(inside, out, 0.0)
+
+    def density_at(self, p):
+        """Trilinear density lookup at world points p: (N,) in [0, max]."""
+        if self.kind != MEDIUM_GRID:
+            return jnp.ones(p.shape[:-1], p.dtype)
+        return self._trilinear(self.density, p)
+
+    def sigma_at(self, p, lam):
+        """(sigma_a, sigma_s) spectra at world points: each (N, S).
+
+        Grid media scale the unit-density spectra by local density; RGBGrid
+        media evaluate trilinearly-interpolated per-voxel spectrum fits
+        (RGBGridMedium::SamplePoint, media.h:599)."""
+        if self.kind == MEDIUM_RGBGRID:
+            sac = self._trilinear(self.sa_grid_coeffs, p)
+            sas = self._trilinear(self.sa_grid_scale, p)
+            ssc = self._trilinear(self.ss_grid_coeffs, p)
+            sss = self._trilinear(self.ss_grid_scale, p)
+            sa = rgb2spec.eval_unbounded(sac, sas, lam)
+            ss = rgb2spec.eval_unbounded(ssc, sss, lam)
+            return sa, ss
+        sa_u, ss_u = self.sigma_base(lam)
+        dens = self.density_at(p)
+        return sa_u * dens[..., None], ss_u * dens[..., None]
 
     def sigma_base(self, lam):
         """Unit-density (sigma_a, sigma_s) spectra at sampled wavelengths."""
@@ -205,8 +305,55 @@ class MediumBuffers:
     def sigma_majorant(self, lam):
         """Wavelength-independent majorant (N,) >= sigma_t(lambda, p) for all
         lambda and p: max over the sampled-lambda axis x max density."""
+        if self.kind == MEDIUM_RGBGRID:
+            # max_density already holds the global wavelength-max sigma_t.
+            return jnp.broadcast_to(self.max_density, lam.shape[:-1])
         sa, ss = self.sigma_base(lam)
         return jnp.max(sa + ss, axis=-1) * self.max_density
+
+    # -- DDA majorant queries (DDAMajorantIterator, media.h:136-214) --------
+
+    def majorant_local(self, p, lam_maj_base):
+        """Local majorant sigma for the coarse cell containing p.
+
+        lam_maj_base: (N,) wavelength-collapsed unit-density majorant
+        (max over lambda of sigma_a + sigma_s). Outside the grid returns 0
+        (vacuum). The reference walks DDA segments and yields (t0, t1,
+        sigma_maj) per cell; here the walk lives in the integrator loop and
+        this is the per-cell majorant lookup — a flattened-table gather
+        (one-hot matmul under the hood, core.gather)."""
+        from ..core.gather import gather_rows
+
+        mz, my, mx = self.maj_grid.shape
+        rel = (p - self.bounds_lo[None]) / jnp.maximum(
+            self.bounds_hi[None] - self.bounds_lo[None], 1e-12
+        )
+        inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+        ix = jnp.clip((rel[..., 0] * mx).astype(jnp.int32), 0, mx - 1)
+        iy = jnp.clip((rel[..., 1] * my).astype(jnp.int32), 0, my - 1)
+        iz = jnp.clip((rel[..., 2] * mz).astype(jnp.int32), 0, mz - 1)
+        flat = self.maj_grid.reshape(-1)
+        dmax = gather_rows(flat, (iz * my + iy) * mx + ix)
+        return jnp.where(inside, dmax * lam_maj_base, 0.0)
+
+    def cell_exit_t(self, o, d, t):
+        """Ray parameter of the exit from the majorant cell containing
+        p(t) — the DDA step distance (media.h:183-206 next-crossing math)."""
+        mz, my, mx = self.maj_grid.shape
+        res = jnp.asarray([mx, my, mz], jnp.float32)
+        ext = jnp.maximum(self.bounds_hi - self.bounds_lo, 1e-12)
+        cs = ext[None] / res[None]  # cell size per axis
+        p = o + t[..., None] * d
+        rel = (p - self.bounds_lo[None]) / cs
+        idx = jnp.floor(rel)
+        step_up = d > 0.0
+        bound = self.bounds_lo[None] + (idx + step_up) * cs
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        t_ax = (bound - o) * inv
+        t_ax = jnp.where(jnp.abs(d) < 1e-12, 1e30, t_ax)
+        t_exit = jnp.min(t_ax, axis=-1)
+        # Nudge past the boundary so the next lookup lands in the new cell.
+        return jnp.maximum(t_exit, t) + 1e-4 * jnp.max(cs)
 
     def le_at(self, p, lam):
         """Volumetric emission radiance (GridMedium Le, media.h:265)."""

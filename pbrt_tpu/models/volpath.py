@@ -41,6 +41,9 @@ class VolPathIntegrator:
     use_mis: bool = static_field(default=True)
     max_null_steps: int = static_field(default=64)
     max_tr_steps: int = static_field(default=64)
+    # Track against per-cell DDA majorants for grid media (media.h:136-214)
+    # instead of the single global majorant; False forces the global walk.
+    use_dda: bool = static_field(default=True)
     # Reverse-mode AD cannot differentiate while_loop; the differentiable
     # variant runs the majorant walks as fixed-length scans (bodies are
     # already fully masked, so the semantics are identical).
@@ -78,6 +81,17 @@ class VolPathIntegrator:
             # and would lose its entire pathwise gradient).
             sigma_maj = jax.lax.stop_gradient(1.5 * sigma_maj)
         sa_u, ss_u = med.sigma_base(lam)  # (N, S) unit-density
+        # DDA local majorants (DDAMajorantIterator, media.h:136-214): track
+        # against the coarse-cell majorant; empty cells are crossed in ONE
+        # step instead of ~sigma_maj_global * cell_len null collisions.
+        use_dda = self.use_dda and med.kind in ("grid", "rgbgrid")
+        if med.kind == "rgbgrid":
+            # rgbgrid majorant cells are already in sigma units.
+            lam_base = jnp.ones(lam.shape[:-1], jnp.float32)
+        else:
+            lam_base = jnp.max(sa_u + ss_u, axis=-1)  # (N,) unit-density maj
+        if self.differentiable:
+            lam_base = jax.lax.stop_gradient(1.5 * lam_base)
 
         def cond(state):
             it, t, tr, active = state
@@ -86,22 +100,34 @@ class VolPathIntegrator:
         def body(state):
             it, t, tr, active = state
             u = sampler.get_1d(pixel, sample_idx, dim_base + it)
-            t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / jnp.maximum(
-                sigma_maj, 1e-20
-            )
+            if use_dda:
+                maj = med.majorant_local(o + t[..., None] * wi, lam_base)
+                t_exit = jnp.minimum(med.cell_exit_t(o, wi, t), t1)
+                t_new = t - jnp.log(
+                    jnp.maximum(1.0 - u, 1e-20)
+                ) / jnp.maximum(maj, 1e-20)
+                crossed = (t_new >= t_exit) | (maj <= 0.0)
+                t_new = jnp.where(crossed, t_exit, t_new)
+                maj_here = maj
+            else:
+                t_new = t - jnp.log(
+                    jnp.maximum(1.0 - u, 1e-20)
+                ) / jnp.maximum(sigma_maj, 1e-20)
+                crossed = jnp.zeros_like(t_new, bool)
+                maj_here = sigma_maj
             escaped = t_new >= t1
             p = o + t_new[..., None] * wi
-            dens = med.density_at(p)
-            sigma_n = jnp.maximum(
-                sigma_maj[..., None] - (sa_u + ss_u) * dens[..., None], 0.0
-            )
-            ratio = sigma_n / jnp.maximum(sigma_maj[..., None], 1e-20)
-            step = active & ~escaped
+            sa_p, ss_p = med.sigma_at(p, lam)
+            sigma_n = jnp.maximum(maj_here[..., None] - sa_p - ss_p, 0.0)
+            ratio = sigma_n / jnp.maximum(maj_here[..., None], 1e-20)
+            step = active & ~escaped & ~crossed
             tr = jnp.where(step[..., None], tr * ratio, tr)
             active = active & ~escaped
-            return it + 1, jnp.where(step, t_new, t), tr, active
+            return it + 1, jnp.where(active, t_new, t), tr, active
 
-        active0 = (t1 > t0) & (sigma_maj > 0.0) & ~occ
+        active0 = (t1 > t0) & ~occ
+        if not use_dda:
+            active0 = active0 & (sigma_maj > 0.0)
         _, _, tr, _ = self._loop(
             cond, body, (jnp.int32(0), t0, tr, active0), self.max_tr_steps
         )
@@ -159,6 +185,13 @@ class VolPathIntegrator:
                     # Inflated + detached: see _transmittance.
                     sigma_maj = jax.lax.stop_gradient(1.5 * sigma_maj)
                 sa_u, ss_u = med.sigma_base(lam)
+                use_dda = self.use_dda and med.kind in ("grid", "rgbgrid")
+                if med.kind == "rgbgrid":
+                    lam_base = jnp.ones(lam.shape[:-1], jnp.float32)
+                else:
+                    lam_base = jnp.max(sa_u + ss_u, axis=-1)
+                if self.differentiable:
+                    lam_base = jax.lax.stop_gradient(1.5 * lam_base)
 
                 def wcond(st):
                     it, t, beta_w, status, walking = st
@@ -170,16 +203,27 @@ class VolPathIntegrator:
                     u_e = sampler.get_1d(
                         pixel, sample_idx, dim0 + 33 + 2 * it
                     )
-                    t_new = t - jnp.log(
-                        jnp.maximum(1.0 - u_d, 1e-20)
-                    ) / jnp.maximum(sigma_maj, 1e-20)
+                    if use_dda:
+                        maj_here = med.majorant_local(
+                            o + t[..., None] * d, lam_base
+                        )
+                        t_exit = jnp.minimum(med.cell_exit_t(o, d, t), t1)
+                        t_new = t - jnp.log(
+                            jnp.maximum(1.0 - u_d, 1e-20)
+                        ) / jnp.maximum(maj_here, 1e-20)
+                        crossed = (t_new >= t_exit) | (maj_here <= 0.0)
+                        t_new = jnp.where(crossed, t_exit, t_new)
+                    else:
+                        maj_here = sigma_maj
+                        t_new = t - jnp.log(
+                            jnp.maximum(1.0 - u_d, 1e-20)
+                        ) / jnp.maximum(sigma_maj, 1e-20)
+                        crossed = jnp.zeros_like(t_new, bool)
                     escaped = t_new >= t1
                     p = o + t_new[..., None] * d
-                    dens = med.density_at(p)
-                    sa = sa_u * dens[..., None]
-                    ss = ss_u * dens[..., None]
-                    pa = sa[..., 0] / jnp.maximum(sigma_maj, 1e-20)
-                    ps = ss[..., 0] / jnp.maximum(sigma_maj, 1e-20)
+                    sa, ss = med.sigma_at(p, lam)
+                    pa = sa[..., 0] / jnp.maximum(maj_here, 1e-20)
+                    ps = ss[..., 0] / jnp.maximum(maj_here, 1e-20)
                     if self.differentiable:
                         # Absorption folded continuously into the null weight
                         # (ratio-tracking style): binary absorb events have a
@@ -197,17 +241,17 @@ class VolPathIntegrator:
                     # sees the 1e-20 division (0 * inf = NaN cotangents).
                     pn = jnp.maximum(1.0 - pa - ps, 1e-20)
                     sigma_n = jnp.maximum(
-                        sigma_maj[..., None] - sa - ss, 0.0
+                        maj_here[..., None] - sa - ss, 0.0
                     )
                     pn_s = jnp.where(null, pn, 1.0)
                     ps_s = jnp.where(scatter, jnp.maximum(ps, 1e-20), 1.0)
                     pa_s = jnp.where(absorb, jnp.maximum(pa, 1e-20), 1.0)
                     w_null = sigma_n / (
-                        sigma_maj[..., None] * pn_s[..., None]
+                        maj_here[..., None] * pn_s[..., None]
                     )
-                    w_scat = ss / (sigma_maj[..., None] * ps_s[..., None])
-                    w_abs = sa / (sigma_maj[..., None] * pa_s[..., None])
-                    step = walking & ~escaped
+                    w_scat = ss / (maj_here[..., None] * ps_s[..., None])
+                    w_abs = sa / (maj_here[..., None] * pa_s[..., None])
+                    step = walking & ~escaped & ~crossed
                     beta_w = jnp.where(
                         (step & null)[..., None], beta_w * w_null, beta_w
                     )
@@ -219,11 +263,13 @@ class VolPathIntegrator:
                     )
                     status = jnp.where(step & scatter, 1, status)
                     status = jnp.where(step & absorb, 2, status)
-                    walking = walking & ~escaped & null
-                    t = jnp.where(step, t_new, t)
+                    walking = walking & ~escaped & (null | crossed)
+                    t = jnp.where(walking | step, t_new, t)
                     return it + 1, t, beta_w, status, walking
 
-                walking0 = active & (t1 > t0) & (sigma_maj > 0.0)
+                walking0 = active & (t1 > t0)
+                if not use_dda:
+                    walking0 = walking0 & (sigma_maj > 0.0)
                 _, t_event, beta, status, _ = self._loop(
                     wcond,
                     wbody,

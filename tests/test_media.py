@@ -160,3 +160,186 @@ def test_cloud_render_smoke():
     center = img[10:20, 12:20].mean()
     corner = img[0:5, 0:5].mean()
     assert abs(center - corner) > 0.01
+
+
+def _slab_medium(sigma=4.0, mres=8):
+    """Empty corridor [0, 0.9) then a dense slab [0.9, 1.0) along x."""
+    nz = ny = 4
+    nxv = 64
+    dens = np.zeros((nz, ny, nxv), np.float32)
+    dens[:, :, int(0.9 * nxv):] = 1.0
+    return MediumBuffers.grid(
+        dens, sigma_a_rgb=(sigma, sigma, sigma), sigma_s_rgb=(0, 0, 0),
+        bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1), maj_res=mres,
+    )
+
+
+def test_dda_majorant_local_lookup():
+    med = _slab_medium()
+    lam_base = jnp.ones((3,))
+    # Empty corridor cells: local majorant 0; slab cells: > 0.
+    p = jnp.asarray([[0.3, 0.5, 0.5], [0.97, 0.5, 0.5], [2.0, 0.5, 0.5]])
+    m = np.asarray(med.majorant_local(p, lam_base))
+    assert m[0] == 0.0 or m[0] < 1e-6 * m[1]  # corridor (dilation margin)
+    assert m[1] > 0.5
+    assert m[2] == 0.0  # outside the bounds: vacuum
+    # Cell exits advance monotonically along +x.
+    o = jnp.asarray([[-0.5, 0.5, 0.5]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    t = jnp.asarray([0.6])  # inside the grid (x = 0.1)
+    te = float(med.cell_exit_t(o, d, t)[0])
+    assert te > 0.6 and te < 1.6
+
+
+def test_dda_skips_empty_space_where_global_truncates():
+    """The VERDICT media-tier gate: a thin dense slab behind a long empty
+    corridor. With a tight step budget the global-majorant walk burns every
+    step on null collisions in the vacuum and never reaches the slab (tr
+    stays ~1 — silently wrong); the DDA walk crosses empty cells in single
+    steps and recovers the analytic Beer-Lambert transmittance."""
+    from pbrt_tpu.core import spectrum as spec
+
+    sigma = 60.0
+    med = _slab_medium(sigma=sigma)
+    n = 64
+    o = jnp.tile(jnp.asarray([[-0.001, 0.5, 0.5]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    wl = spec.sample_visible(jnp.full((n,), 0.4))
+    pixel = jnp.arange(n, dtype=jnp.int32)
+
+    import types
+
+    class _S:
+        pass
+
+    scene = types.SimpleNamespace(medium=med)
+
+    def tr_mean(use_dda, budget):
+        integ = VolPathIntegrator(
+            max_tr_steps=budget, use_dda=use_dda, differentiable=False
+        )
+        # Occlusion-free straight-line transmittance through the medium:
+        # call the internal walk with no geometry by faking any_hit via a
+        # scene that has an empty accel — use the real scene helper instead.
+        from pbrt_tpu.scene import Scene
+        from pbrt_tpu.shapes.geometry import GeometryBuffers
+        from pbrt_tpu.materials.buffers import MaterialBuffers
+        from pbrt_tpu.lights.buffers import LightBuffers
+
+        sc = Scene(
+            geom=GeometryBuffers.build(),
+            materials=MaterialBuffers.build(
+                [{"kind": 0, "albedo": (0.5, 0.5, 0.5)}]
+            ),
+            lights=LightBuffers.build(),
+            medium=med,
+        )
+        from pbrt_tpu.samplers.samplers import as_sampler
+
+        tr = integ._transmittance(
+            sc, o, d, jnp.full((n,), 1.5), wl.lam, pixel, jnp.int32(0),
+            as_sampler(7), 100,
+        )
+        return float(np.asarray(tr).mean())
+
+    # Analytic: slab thickness 0.1, density 1 => tr = exp(-sigma_t * 0.1).
+    sa, _ = med.sigma_base(wl.lam)
+    want = float(np.asarray(jnp.exp(-sa * 0.1)).mean())
+    got_dda = tr_mean(True, 24)
+    got_glob = tr_mean(False, 24)
+    assert abs(got_dda - want) < 0.05, (got_dda, want)
+    # The global walk's expected step count to REACH the slab is
+    # ~sigma_majorant * 0.9 ≈ 54 > 24, so it reports ~1.0.
+    assert got_glob > want + 0.3, (got_glob, want)
+
+
+def test_dda_consistent_with_global_on_cloud():
+    """At a generous step budget both walks are unbiased estimators of the
+    same image: cloud-scene means agree."""
+    from pbrt_tpu.render import render
+
+    scene, camera = cloud_scene(resolution=(16, 16))
+    img_a = np.asarray(render(
+        scene, camera, VolPathIntegrator(max_depth=3, use_dda=True),
+        spp=16, samples_per_pass=4, seed=3,
+    ))
+    img_b = np.asarray(render(
+        scene, camera, VolPathIntegrator(max_depth=3, use_dda=False),
+        spp=16, samples_per_pass=4, seed=4,
+    ))
+    assert np.isfinite(img_a).all() and np.isfinite(img_b).all()
+    ma, mb = img_a.mean(), img_b.mean()
+    assert abs(ma - mb) < 0.1 * max(ma, mb), (ma, mb)
+
+
+def test_rgbgrid_matches_homogeneous_fit():
+    """A constant-RGB rgbgrid medium must reproduce the homogeneous medium's
+    fitted sigma spectra at interior points, and delta tracking through it
+    must Beer-Lambert-attenuate chromatically."""
+    rgb_a = (5.0, 1.0, 0.2)
+    nz = ny = nxv = 8
+    sa_grid = np.broadcast_to(
+        np.asarray(rgb_a, np.float32), (nz, ny, nxv, 3)
+    )
+    ss_grid = np.zeros((nz, ny, nxv, 3), np.float32)
+    med = MediumBuffers.rgbgrid(
+        sa_grid, ss_grid, bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1),
+    )
+    hom = MediumBuffers.homogeneous(
+        rgb_a, (0, 0, 0), bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1)
+    )
+    wl = spectrum.sample_visible(jnp.full((4,), 0.3))
+    p = jnp.asarray([[0.5, 0.5, 0.5], [0.25, 0.5, 0.75],
+                     [0.5, 0.25, 0.25], [0.9, 0.9, 0.9]])
+    sa_r, ss_r = med.sigma_at(p, wl.lam)
+    sa_h, _ = hom.sigma_base(wl.lam)
+    np.testing.assert_allclose(np.asarray(sa_r), np.asarray(sa_h),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(ss_r), 0.0, atol=1e-5)
+    # Majorant conservative over sampled wavelengths.
+    maj = float(med.max_density)
+    assert maj >= float(jnp.max(sa_r)) - 1e-4
+    # Outside: vacuum.
+    sa_o, _ = med.sigma_at(jnp.asarray([[2.0, 0.5, 0.5]]), wl.lam[:1])
+    np.testing.assert_allclose(np.asarray(sa_o), 0.0, atol=1e-6)
+
+
+def test_rgbgrid_chromatic_transmittance_render():
+    """Delta-tracked transmittance through an rgbgrid slab is chromatic:
+    red-absorbing medium passes blue. Monte Carlo vs analytic per channel."""
+    from pbrt_tpu.samplers.samplers import as_sampler
+    from pbrt_tpu.scene import Scene
+    from pbrt_tpu.shapes.geometry import GeometryBuffers
+    from pbrt_tpu.materials.buffers import MaterialBuffers
+    from pbrt_tpu.lights.buffers import LightBuffers
+    from pbrt_tpu.films.rgb import spectrum_to_rgb
+
+    rgb_a = (8.0, 2.0, 0.2)
+    sa_grid = np.broadcast_to(np.asarray(rgb_a, np.float32), (4, 4, 4, 3))
+    med = MediumBuffers.rgbgrid(
+        sa_grid, np.zeros((4, 4, 4, 3), np.float32),
+        bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1),
+    )
+    sc = Scene(
+        geom=GeometryBuffers.build(),
+        materials=MaterialBuffers.build([{"kind": 0, "albedo": (0.5,) * 3}]),
+        lights=LightBuffers.build(),
+        medium=med,
+    )
+    n = 512
+    o = jnp.tile(jnp.asarray([[-0.5, 0.5, 0.5]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    u = (jnp.arange(n) + 0.5) / n
+    wl = spectrum.sample_visible(u)
+    integ = VolPathIntegrator(max_tr_steps=96)
+    tr = integ._transmittance(
+        sc, o, d, jnp.full((n,), 5.0), wl.lam, jnp.arange(n, dtype=jnp.int32),
+        jnp.int32(0), as_sampler(11), 50,
+    )
+    got = np.asarray(spectrum_to_rgb(tr, wl)).mean(0)
+    sa_h, _ = med.sigma_at(
+        jnp.tile(jnp.asarray([[0.5, 0.5, 0.5]]), (n, 1)), wl.lam
+    )
+    want = np.asarray(spectrum_to_rgb(jnp.exp(-sa_h), wl)).mean(0)
+    np.testing.assert_allclose(got, want, atol=0.05)
+    assert got[2] > got[0] + 0.2  # blue passes, red blocked
