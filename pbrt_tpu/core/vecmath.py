@@ -239,6 +239,8 @@ def equal_area_sphere_to_square(d):
     south = d[..., 2] < 0.0
     u2 = jnp.where(south, 1.0 - v_, u_)
     v2 = jnp.where(south, 1.0 - u_, v_)
-    u2 = jnp.sign(d[..., 0]) * u2
-    v2 = jnp.sign(d[..., 1]) * v2
+    # Zero components must keep the fold (sign(0) == 0 would collapse the
+    # -z pole onto the +z center); treat +0 as positive like copysign.
+    u2 = jnp.where(d[..., 0] >= 0.0, u2, -u2)
+    v2 = jnp.where(d[..., 1] >= 0.0, v2, -v2)
     return jnp.stack([0.5 * (u2 + 1.0), 0.5 * (v2 + 1.0)], axis=-1)

@@ -182,8 +182,11 @@ class PbrtParser:
         self.area_lights = []
         self.points = []
         self.spots = []
+        self.projections = []
+        self.gonios = []
         self.distants = []
         self.infinite = None
+        self.envmap = None
         self.textures = {}
         # camera / settings
         self.camera_type = "perspective"
@@ -633,19 +636,60 @@ class PbrtParser:
                 {"dir": tuple(dw), "rgb": tuple(L) if L is not None else (1, 1, 1),
                  "scale": scale}
             )
+        elif ltype == "projection":
+            # ProjectionLight (lights.h:482): image projected through a
+            # perspective window; CTM places/orients the light.
+            I = _get_vec(p, "I")
+            pos = self._pts(np.zeros((1, 3)))[0]
+            to = self._pts(np.asarray([[0.0, 0.0, 1.0]]))[0]
+            img = self._light_image(p)
+            self.projections.append(
+                {"p": tuple(pos), "to": tuple(to),
+                 "fov": float(_get(p, "fov", 90.0)),
+                 "rgb": tuple(I) if I is not None else (1, 1, 1),
+                 "rgb_image": img, "scale": scale}
+            )
+        elif ltype == "goniometric":
+            # GoniometricLight (lights.h:584): equal-area-octahedral
+            # intensity image over direction.
+            I = _get_vec(p, "I")
+            frm = _get_vec(p, "from", np.zeros(3))
+            pos = self._pts(frm[None])[0]
+            img = self._light_image(p)
+            self.gonios.append(
+                {"p": tuple(pos),
+                 "to": tuple(pos + np.asarray([0.0, 0.0, 1.0])),
+                 "rgb": tuple(I) if I is not None else (1, 1, 1),
+                 "rgb_image": img, "scale": scale}
+            )
         elif ltype == "infinite":
             L = _get_vec(p, "L")
             self.infinite = {
                 "rgb": tuple(L) if L is not None else (1.0, 1.0, 1.0),
                 "scale": scale,
             }
-            if _get(p, "filename"):
-                self.warnings.append(
-                    "infinite light image file ignored (load via "
-                    "EnvironmentMap.build and pass to LightBuffers)"
+            img = self._light_image(p)
+            if img is not None:
+                from ..lights.envmap import EnvironmentMap
+
+                self.envmap = EnvironmentMap.from_latlong(
+                    np.asarray(img) * scale
                 )
+                self.infinite = None
         else:
             self.warnings.append(f"light {ltype} unsupported; skipped")
+
+    def _light_image(self, p):
+        fname = _get(p, "filename")
+        if not fname:
+            return None
+        try:
+            from .image import read_image_rgb
+
+            return read_image_rgb(os.path.join(self.base_dir, fname))
+        except Exception as e:
+            self.warnings.append(f"light image '{fname}': {e}")
+            return None
 
     def _d_MakeNamedMedium(self, ts):
         """MakeNamedMedium "name" "string type" ... (media.cpp Medium::Create
@@ -941,8 +985,11 @@ class PbrtParser:
             area_tris=self.area_lights,
             points=self.points,
             spots=self.spots,
+            projections=self.projections,
+            gonios=self.gonios,
             distants=self.distants,
             infinite=self.infinite,
+            envmap=self.envmap,
         )
         textures = None
         if self.tex_specs:

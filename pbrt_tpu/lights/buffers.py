@@ -48,6 +48,18 @@ def eval_emission(coeffs, scale, illum, lam):
     return jnp.where(jnp.asarray(illum)[..., None], base * d65, base)
 
 
+def _image_emission(coeffs, scale_tx, illum, light_idx, u, v, lam):
+    """Per-ray nearest-texel emission from a (L, R, R) intensity-image
+    stack (ProjectionLight::I / GoniometricLight::I image lookup)."""
+    L_, R = coeffs.shape[0], coeffs.shape[1]
+    xi = jnp.clip((jnp.clip(u, 0.0, 1.0) * R).astype(jnp.int32), 0, R - 1)
+    yi = jnp.clip((jnp.clip(v, 0.0, 1.0) * R).astype(jnp.int32), 0, R - 1)
+    fi = (light_idx * R + yi) * R + xi
+    c = gather_rows(coeffs.reshape(L_ * R * R, 3), fi)
+    s = gather_rows(scale_tx.reshape(L_ * R * R), fi)
+    return eval_emission(c, s, gather_rows(illum, light_idx), lam)
+
+
 @pytree
 class LightBuffers:
     # Area lights: one emissive triangle each.
@@ -70,6 +82,21 @@ class LightBuffers:
     spot_coeffs: jnp.ndarray  # (Ls, 3)
     spot_scale: jnp.ndarray  # (Ls,)
     spot_illum: jnp.ndarray  # (Ls,) bool
+    # Projection lights (ProjectionLight, lights.h:482): delta position
+    # projecting an image through a perspective window.
+    proj_p: jnp.ndarray  # (Lj, 3)
+    proj_rot: jnp.ndarray  # (Lj, 3, 3) world->light rotation (rows x,y,z)
+    proj_tan: jnp.ndarray  # (Lj,) tan(fov/2)
+    proj_coeffs: jnp.ndarray  # (Lj, R, R, 3) per-texel unbounded fits
+    proj_scale_tx: jnp.ndarray  # (Lj, R, R)
+    proj_illum: jnp.ndarray  # (Lj,) bool
+    # Goniometric lights (GoniometricLight, lights.h:584): delta position
+    # with an equal-area-octahedral intensity image over direction.
+    gonio_p: jnp.ndarray  # (Lg, 3)
+    gonio_rot: jnp.ndarray  # (Lg, 3, 3)
+    gonio_coeffs: jnp.ndarray  # (Lg, R, R, 3)
+    gonio_scale_tx: jnp.ndarray  # (Lg, R, R)
+    gonio_illum: jnp.ndarray  # (Lg,) bool
     # Distant lights.
     distant_dir: jnp.ndarray  # (Ld, 3) direction the light travels (w_light)
     distant_coeffs: jnp.ndarray  # (Ld, 3)
@@ -102,6 +129,14 @@ class LightBuffers:
         return self.spot_p.shape[0]
 
     @property
+    def n_proj(self) -> int:
+        return self.proj_p.shape[0]
+
+    @property
+    def n_gonio(self) -> int:
+        return self.gonio_p.shape[0]
+
+    @property
     def n_distant(self) -> int:
         return self.distant_dir.shape[0]
 
@@ -111,8 +146,10 @@ class LightBuffers:
 
     @property
     def n_lights(self) -> int:
-        return self.n_area + self.n_point + self.n_spot + self.n_distant + (
-            1 if (self.has_infinite or self.has_env) else 0
+        return (
+            self.n_area + self.n_point + self.n_spot + self.n_proj
+            + self.n_gonio + self.n_distant
+            + (1 if (self.has_infinite or self.has_env) else 0)
         )
 
     @staticmethod
@@ -120,6 +157,8 @@ class LightBuffers:
         area_tris=None,  # dicts: verts (3,3), rgb, scale, two_sided, illuminant
         points=None,  # dicts: p, rgb, scale, illuminant
         spots=None,  # dicts: p, to, rgb, scale, coneangle, conedelta, illuminant
+        projections=None,  # dicts: p, to, fov, rgb|rgb_image, scale, illuminant
+        gonios=None,  # dicts: p, to, rgb|rgb_image, scale, illuminant
         distants=None,  # dicts: dir (travel direction), rgb, scale, illuminant
         infinite=None,  # dict: rgb, scale, illuminant — or None
         envmap=None,  # EnvironmentMap — replaces `infinite` when given
@@ -138,7 +177,67 @@ class LightBuffers:
         area_tris = area_tris or []
         points = points or []
         spots = spots or []
+        projections = projections or []
+        gonios = gonios or []
         distants = distants or []
+
+        def _frame(spec):
+            z = np.asarray(spec.get("to", (0, 0, 1)), np.float64) - np.asarray(
+                spec["p"], np.float64
+            )
+            nz = np.linalg.norm(z)
+            z = z / nz if nz > 0 else np.array([0.0, 0.0, 1.0])
+            up = np.asarray(spec.get("up", (0, 1, 0)), np.float64)
+            x = np.cross(up, z)
+            if np.linalg.norm(x) < 1e-8:
+                x = np.cross(np.array([1.0, 0.0, 0.0]), z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            return np.stack([x, y, z])  # world->light rows
+
+        def _img_grid(specs, res=64):
+            # Resample each light's rgb image (or constant rgb) onto a
+            # shared (res, res) grid and fit unbounded spectra per texel.
+            if not specs:
+                zc = jnp.zeros((0, res, res, 3), jnp.float32)
+                return zc, jnp.zeros((0, res, res), jnp.float32), []
+            grids, means = [], []
+            for s in specs:
+                if "rgb_image" in s and s["rgb_image"] is not None:
+                    im = np.asarray(s["rgb_image"], np.float32)
+                    yy = np.clip(
+                        (np.arange(res) * im.shape[0] // res), 0,
+                        im.shape[0] - 1,
+                    )
+                    xx = np.clip(
+                        (np.arange(res) * im.shape[1] // res), 0,
+                        im.shape[1] - 1,
+                    )
+                    g = im[yy][:, xx]
+                else:
+                    g = np.broadcast_to(
+                        np.asarray(s.get("rgb", (1.0, 1.0, 1.0)), np.float32),
+                        (res, res, 3),
+                    )
+                g = g * float(s.get("scale", 1.0))
+                grids.append(g)
+                means.append(float(g.mean()))
+            arr = jnp.asarray(np.stack(grids))
+            c, sc = rgb2spec.fit_unbounded(arr)
+            return c, sc, means
+
+        pj_c, pj_s, pj_means = _img_grid(projections)
+        gn_c, gn_s, gn_means = _img_grid(gonios)
+        pj_rot = np.stack(
+            [_frame(s) for s in projections]
+        ) if projections else np.zeros((0, 3, 3))
+        gn_rot = np.stack(
+            [_frame(s) for s in gonios]
+        ) if gonios else np.zeros((0, 3, 3))
+        pj_tan = np.asarray(
+            [np.tan(np.deg2rad(s.get("fov", 45.0)) / 2.0)
+             for s in projections], np.float32,
+        )
 
         av = np.asarray([a["verts"] for a in area_tris], np.float32).reshape(
             -1, 3, 3
@@ -204,6 +303,12 @@ class LightBuffers:
         for s in spots:
             solid = 2 * np.pi * (1 - np.cos(np.deg2rad(s.get("coneangle", 30.0))))
             powers.append(float(np.mean(s["rgb"])) * s.get("scale", 1.0) * solid)
+        for i, s in enumerate(projections):
+            half = np.deg2rad(s.get("fov", 45.0)) / 2.0
+            solid = 2 * np.pi * (1 - np.cos(half * np.sqrt(2.0)))
+            powers.append(pj_means[i] * solid)
+        for i, s in enumerate(gonios):
+            powers.append(gn_means[i] * 4 * np.pi)
         for dl in distants:
             powers.append(float(np.mean(dl["rgb"])) * dl.get("scale", 1.0) * np.pi)
         if envmap is not None:
@@ -249,6 +354,23 @@ class LightBuffers:
             spot_coeffs=spc,
             spot_scale=spsc,
             spot_illum=_flags(spots, "illuminant", True),
+            proj_p=jnp.asarray(
+                np.asarray([s["p"] for s in projections],
+                           np.float32).reshape(-1, 3)
+            ),
+            proj_rot=jnp.asarray(pj_rot, jnp.float32),
+            proj_tan=jnp.asarray(pj_tan.reshape(-1), jnp.float32),
+            proj_coeffs=pj_c,
+            proj_scale_tx=pj_s,
+            proj_illum=_flags(projections, "illuminant", True),
+            gonio_p=jnp.asarray(
+                np.asarray([s["p"] for s in gonios],
+                           np.float32).reshape(-1, 3)
+            ),
+            gonio_rot=jnp.asarray(gn_rot, jnp.float32),
+            gonio_coeffs=gn_c,
+            gonio_scale_tx=gn_s,
+            gonio_illum=_flags(gonios, "illuminant", True),
             distant_dir=jnp.asarray(dd, jnp.float32),
             distant_coeffs=dc,
             distant_scale=dsc,
@@ -268,8 +390,10 @@ class LightBuffers:
 
     @property
     def n_bvh(self) -> int:
-        """Positional lights held by the light BVH (area + point + spot)."""
-        return self.n_area + self.n_point + self.n_spot
+        """Positional lights held by the light BVH (area + point + spot +
+        projection + goniometric)."""
+        return (self.n_area + self.n_point + self.n_spot + self.n_proj
+                + self.n_gonio)
 
     @property
     def n_inf_list(self) -> int:
@@ -415,7 +539,8 @@ class LightBuffers:
         """Solid-angle pdf that NEE sampling produced direction d toward the
         infinite light, including its selection pmf (for MIS on escaped
         rays). Zero when there is no infinite light."""
-        n_inf = self.n_area + self.n_point + self.n_spot + self.n_distant
+        n_inf = (self.n_area + self.n_point + self.n_spot + self.n_proj
+                 + self.n_gonio + self.n_distant)
         if self.bvh is not None:
             pmf = self._p_infinite / max(self.n_inf_list, 1)
         else:
@@ -449,8 +574,9 @@ class LightBuffers:
         dist = jnp.full((N,), jnp.inf, p_ref.dtype)
         is_delta = jnp.zeros((N,), bool)
 
-        na, npt, nsp, nd = (
-            self.n_area, self.n_point, self.n_spot, self.n_distant
+        na, npt, nsp, nj, ng, nd = (
+            self.n_area, self.n_point, self.n_spot, self.n_proj,
+            self.n_gonio, self.n_distant,
         )
 
         if na > 0:
@@ -530,8 +656,70 @@ class LightBuffers:
             dist = jnp.where(use, dd_, dist)
             is_delta = is_delta | use
 
+        if nj > 0:
+            ji = jnp.clip(idx - na - npt - nsp, 0, nj - 1)
+            p_l = gather_rows(self.proj_p, ji)
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            dd_ = jnp.sqrt(d2)
+            wi_j = to_l / dd_[..., None]
+            rot = gather_rows(self.proj_rot.reshape(-1, 9), ji).reshape(
+                -1, 3, 3
+            )
+            # Light-space direction from light toward the shading point.
+            w_l = jnp.einsum("nij,nj->ni", rot, -wi_j)
+            tanh = gather_rows(self.proj_tan, ji)
+            z = jnp.maximum(w_l[:, 2], 1e-6)
+            uu = 0.5 * (w_l[:, 0] / (z * tanh) + 1.0)
+            vv = 0.5 * (w_l[:, 1] / (z * tanh) + 1.0)
+            inside = (
+                (w_l[:, 2] > 0.0)
+                & (uu >= 0.0) & (uu < 1.0) & (vv >= 0.0) & (vv < 1.0)
+            )
+            I_j = _image_emission(
+                self.proj_coeffs, self.proj_scale_tx, self.proj_illum,
+                ji, uu, vv, lam,
+            )
+            L_j = jnp.where(
+                inside[..., None], I_j / d2[..., None], 0.0
+            )
+            use = (idx >= na + npt + nsp) & (idx < na + npt + nsp + nj)
+            L = jnp.where(use[..., None], L_j, L)
+            wi = jnp.where(use[..., None], wi_j, wi)
+            pdf = jnp.where(use, 1.0, pdf)
+            dist = jnp.where(use, dd_, dist)
+            is_delta = is_delta | use
+
+        if ng > 0:
+            gi = jnp.clip(idx - na - npt - nsp - nj, 0, ng - 1)
+            p_l = gather_rows(self.gonio_p, gi)
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            dd_ = jnp.sqrt(d2)
+            wi_g = to_l / dd_[..., None]
+            rot = gather_rows(self.gonio_rot.reshape(-1, 9), gi).reshape(
+                -1, 3, 3
+            )
+            w_l = jnp.einsum("nij,nj->ni", rot, -wi_g)
+            from ..core.vecmath import equal_area_sphere_to_square
+
+            uv_g = equal_area_sphere_to_square(w_l)
+            I_g = _image_emission(
+                self.gonio_coeffs, self.gonio_scale_tx, self.gonio_illum,
+                gi, uv_g[..., 0], uv_g[..., 1], lam,
+            )
+            L_g = I_g / d2[..., None]
+            use = (idx >= na + npt + nsp + nj) & (
+                idx < na + npt + nsp + nj + ng
+            )
+            L = jnp.where(use[..., None], L_g, L)
+            wi = jnp.where(use[..., None], wi_g, wi)
+            pdf = jnp.where(use, 1.0, pdf)
+            dist = jnp.where(use, dd_, dist)
+            is_delta = is_delta | use
+
         if nd > 0:
-            di = jnp.clip(idx - na - npt - nsp, 0, nd - 1)
+            di = jnp.clip(idx - na - npt - nsp - nj - ng, 0, nd - 1)
             wi_d = -gather_rows(self.distant_dir, di)
             L_d = eval_emission(
                 gather_rows(self.distant_coeffs, di),
@@ -539,7 +727,9 @@ class LightBuffers:
                 gather_rows(self.distant_illum, di),
                 lam,
             )
-            use = (idx >= na + npt + nsp) & (idx < na + npt + nsp + nd)
+            use = (idx >= na + npt + nsp + nj + ng) & (
+                idx < na + npt + nsp + nj + ng + nd
+            )
             L = jnp.where(use[..., None], L_d, L)
             wi = jnp.where(use[..., None], wi_d, wi)
             pdf = jnp.where(use, 1.0, pdf)
@@ -547,7 +737,7 @@ class LightBuffers:
             is_delta = is_delta | use
 
         if self.has_env or self.has_infinite:
-            use = idx == (na + npt + nsp + nd)
+            use = idx == (na + npt + nsp + nj + ng + nd)
             if self.has_env:
                 wi_e, L_e, pdf_e = self.env.sample(u_pos, lam)
             else:

@@ -155,6 +155,28 @@ def light_bounds_arrays(lights) -> list:
             _Bounds(sp[i], sp[i], sdir[i], 0.0, theta_e, max(phi, 1e-9),
                     False)
         )
+    # Projection lights: cone around the projection axis (ProjectionLight::
+    # Bounds, lights.cpp); goniometric: point-like full sphere.
+    jp = np.asarray(lights.proj_p)
+    j_rot = np.asarray(lights.proj_rot)
+    j_tan = np.asarray(lights.proj_tan)
+    j_sc = np.asarray(lights.proj_scale_tx)
+    for i in range(jp.shape[0]):
+        theta_e = float(np.arctan(float(j_tan[i]) * np.sqrt(2.0)))
+        solid = 2.0 * np.pi * (1.0 - np.cos(theta_e))
+        phi = float(j_sc[i].mean()) * solid
+        out.append(
+            _Bounds(jp[i], jp[i], j_rot[i, 2], 0.0, theta_e,
+                    max(phi, 1e-9), False)
+        )
+    gp = np.asarray(lights.gonio_p)
+    g_sc = np.asarray(lights.gonio_scale_tx)
+    for i in range(gp.shape[0]):
+        phi = 4.0 * np.pi * float(g_sc[i].mean())
+        out.append(
+            _Bounds(gp[i], gp[i], np.array([0.0, 0.0, 1.0]), np.pi,
+                    np.pi / 2.0, max(phi, 1e-9), False)
+        )
     return out
 
 
