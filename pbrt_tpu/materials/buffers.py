@@ -53,6 +53,7 @@ class MaterialBuffers:
     hair_sigma_coeffs: jnp.ndarray  # (M, 3) hair sigma_a unbounded-spectrum fit
     hair_sigma_scale: jnp.ndarray  # (M,)
     hair_alpha: jnp.ndarray  # (M,) hair cuticle tilt, degrees
+    thickness: jnp.ndarray  # (M,) coat layer optical thickness (coated kinds)
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
@@ -69,6 +70,7 @@ class MaterialBuffers:
         transs = []
         c_eta, c_k = [], []
         hair_sig, hair_alpha = [], []
+        thicks = []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
@@ -85,6 +87,7 @@ class MaterialBuffers:
             # Default sigma_a ~ brown hair (eumelanin 1.3, materials.cpp:153).
             hair_sig.append(m.get("hair_sigma_a", (0.5447, 0.9061, 1.781)))
             hair_alpha.append(m.get("hair_alpha", 2.0))
+            thicks.append(m.get("thickness", 0.01))
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
@@ -107,6 +110,7 @@ class MaterialBuffers:
             hair_sigma_coeffs=hs,
             hair_sigma_scale=hss,
             hair_alpha=jnp.asarray(hair_alpha, jnp.float32),
+            thickness=jnp.asarray(thicks, jnp.float32),
             any_conductor=any(
                 k in (MAT_CONDUCTOR, MAT_COATEDCONDUCTOR) for k in kinds
             ),
@@ -144,6 +148,7 @@ class MaterialBuffers:
                 self.hair_sigma_coeffs,
                 self.hair_sigma_scale[:, None],
                 self.hair_alpha[:, None],
+                self.thickness[:, None],
             ],
             axis=1,
         )
@@ -163,6 +168,7 @@ class MaterialBuffers:
             "hair_sigma_coeffs": g[:, 19:22],
             "hair_sigma_scale": g[:, 22],
             "hair_alpha": g[:, 23],
+            "thickness": g[:, 24],
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,

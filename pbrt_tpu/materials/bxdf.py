@@ -435,15 +435,27 @@ def evaluate(params, wo, wi, lam):
             f,
         )
     if params["any_coated"]:
+        from .layered import layered_walk
+
         alpha_c = sc.roughness_to_alpha(params["coat_roughness"])
         alpha_c = jnp.maximum(alpha_c, 1e-3)
-        f_cd = coated_f(diffuse_f(albedo, wo, wi), alpha_c, wo, wi)
+        f_cd = layered_walk(
+            wo, wi,
+            lambda a, b: diffuse_f(albedo, a, b),
+            lambda a, u2_, uc_: diffuse_sample(albedo, a, u2_),
+            alpha_c, thickness=params["thickness"],
+        )
         f = jnp.where((kind == MAT_COATEDDIFFUSE)[..., None], f_cd, f)
         if params["any_conductor"]:
             eta_c, k_c = _gather_spectral_eta_k(params, lam)
-            f_cc = coated_f(
-                conductor_f(eta_c, k_c, jnp.maximum(alpha, 1e-3), wo, wi),
-                alpha_c, wo, wi,
+            alpha_b = jnp.maximum(alpha, 1e-3)
+            f_cc = layered_walk(
+                wo, wi,
+                lambda a, b: conductor_f(eta_c, k_c, alpha_b, a, b),
+                lambda a, u2_, uc_: conductor_sample(
+                    eta_c, k_c, alpha_b, a, u2_
+                )[:3],
+                alpha_c, thickness=params["thickness"], salt=1,
             )
             f = jnp.where((kind == MAT_COATEDCONDUCTOR)[..., None], f_cc, f)
     if params["any_hair"]:
@@ -527,11 +539,23 @@ def sample(params, wo, lam, u2, uc):
         alpha_c = jnp.maximum(
             sc.roughness_to_alpha(params["coat_roughness"]), 1e-3
         )
+        from .layered import layered_walk
+
         wi_cd, f_cd, p_cd = coated_sample(
             lambda u: diffuse_sample(albedo, wo, u),
             lambda wi_: diffuse_f(albedo, wo, wi_),
             lambda wi_: diffuse_pdf(wo, wi_),
             alpha_c, wo, u2, uc,
+        )
+        f_cd = layered_walk(
+            wo, wi_cd,
+            lambda a, b: diffuse_f(albedo, a, b),
+            lambda a, u2_, uc_: diffuse_sample(albedo, a, u2_),
+            alpha_c, thickness=params["thickness"],
+        )
+        f_cd = jnp.where(
+            (_same_hemisphere(wo, wi_cd) & (p_cd > 0.0))[..., None],
+            f_cd, 0.0,
         )
         m = kind == MAT_COATEDDIFFUSE
         wi = jnp.where(m[..., None], wi_cd, wi)
@@ -546,6 +570,18 @@ def sample(params, wo, lam, u2, uc):
                 lambda wi_: conductor_f(eta_c, k_c, alpha_b, wo, wi_),
                 lambda wi_: conductor_pdf(alpha_b, wo, wi_),
                 alpha_c, wo, u2, uc,
+            )
+            f_cc = layered_walk(
+                wo, wi_cc,
+                lambda a, b: conductor_f(eta_c, k_c, alpha_b, a, b),
+                lambda a, u2_, uc_: conductor_sample(
+                    eta_c, k_c, alpha_b, a, u2_
+                )[:3],
+                alpha_c, thickness=params["thickness"], salt=1,
+            )
+            f_cc = jnp.where(
+                (_same_hemisphere(wo, wi_cc) & (p_cc > 0.0))[..., None],
+                f_cc, 0.0,
             )
             m = kind == MAT_COATEDCONDUCTOR
             wi = jnp.where(m[..., None], wi_cc, wi)
