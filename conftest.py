@@ -22,3 +22,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this environment's XLA CPU client can abort
+# inside backend_compile after heavy in-process compile churn (seen as
+# "Fatal Python error: Aborted/Segmentation fault" in large compiles late in
+# the suite). Cached executables skip backend_compile entirely, which both
+# sidesteps the crash on warmed runs and cuts suite time substantially.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -64,10 +64,64 @@ def cmd_diff(args):
     mrse = float(np.mean((a - b) ** 2 / (b * b + 1e-2)))
     mae = float(np.mean(np.abs(a - b)))
     out = {"mse": mse, "mrse": mrse, "mae": mae}
+    if getattr(args, "flip", False):
+        from ..utils.flip import mean_flip
+
+        out["flip"] = mean_flip(b, a, ppd=args.ppd)
     print(json.dumps(out))
     if args.outfile:
         _write(args.outfile, np.abs(a - b))
     return 0 if (args.metric_limit is None or mse <= args.metric_limit) else 1
+
+
+def cmd_error(args):
+    """Convergence analysis vs a reference (cmd/imgtool.cpp:146-248
+    `error`): per-image MSE/MRSE/MAE (+FLIP) and the fitted log-log
+    convergence order across the image sequence."""
+    ref = _read(args.reference)
+    rows = []
+    for pth in args.inputs:
+        img = _read(pth)
+        assert img.shape == ref.shape, (pth, img.shape, ref.shape)
+        row = {
+            "file": pth,
+            "mse": float(np.mean((img - ref) ** 2)),
+            "mrse": float(np.mean((img - ref) ** 2 / (ref * ref + 1e-2))),
+            "mae": float(np.mean(np.abs(img - ref))),
+        }
+        if args.flip:
+            from ..utils.flip import mean_flip
+
+            row["flip"] = mean_flip(ref, img, ppd=args.ppd)
+        rows.append(row)
+    out = {"images": rows}
+    if len(rows) >= 2:
+        # Convergence order: slope of log(mse) vs log(sample index 1..N)
+        # (equal-work spacing; pass files in increasing-spp order).
+        x = np.log(np.arange(1, len(rows) + 1, dtype=np.float64))
+        y = np.log(np.maximum([r["mse"] for r in rows], 1e-12))
+        slope = float(np.polyfit(x, y, 1)[0])
+        out["mse_convergence_order"] = -slope
+    print(json.dumps(out))
+    if args.metric_limit is not None:
+        return 0 if rows[-1]["mse"] <= args.metric_limit else 1
+    return 0
+
+
+def cmd_makesky(args):
+    """Analytic sun/sky environment map (imgtool makesky; Preetham model
+    standing in for the vendored Hosek-Wilkie dataset)."""
+    from ..utils.sky import make_sky_latlong
+
+    img = make_sky_latlong(
+        res_y=args.resolution,
+        sun_elevation_deg=args.elevation,
+        sun_azimuth_deg=args.azimuth,
+        turbidity=args.turbidity,
+        sun_intensity=args.sun_intensity,
+        sun_half_angle=args.sun_half_angle,
+    )
+    _write(args.output, img)
 
 
 def cmd_average(args):
@@ -169,7 +223,28 @@ def main(argv=None):
     c.add_argument("reference")
     c.add_argument("--outfile")
     c.add_argument("--metric-limit", type=float, default=None)
+    c.add_argument("--flip", action="store_true",
+                   help="also compute the FLIP perceptual metric")
+    c.add_argument("--ppd", type=float, default=67.0)
     c.set_defaults(fn=cmd_diff)
+
+    c = sub.add_parser("error")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("--reference", required=True)
+    c.add_argument("--metric-limit", type=float, default=None)
+    c.add_argument("--flip", action="store_true")
+    c.add_argument("--ppd", type=float, default=67.0)
+    c.set_defaults(fn=cmd_error)
+
+    c = sub.add_parser("makesky")
+    c.add_argument("output")
+    c.add_argument("--resolution", type=int, default=128)
+    c.add_argument("--elevation", type=float, default=30.0)
+    c.add_argument("--azimuth", type=float, default=0.0)
+    c.add_argument("--turbidity", type=float, default=3.0)
+    c.add_argument("--sun-intensity", type=float, default=100.0)
+    c.add_argument("--sun-half-angle", type=float, default=0.2665)
+    c.set_defaults(fn=cmd_makesky)
 
     c = sub.add_parser("average")
     c.add_argument("inputs", nargs="+")

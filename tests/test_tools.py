@@ -181,3 +181,79 @@ def test_pspec_low_discrepancy_suppresses_low_frequencies():
     # White noise: flat spectrum ~1; Sobol': strong low-frequency suppression.
     assert 0.6 < ps_ind[low_mask].mean() < 1.5
     assert ps_sob[low_mask].mean() < 0.35 * ps_ind[low_mask].mean()
+
+
+def test_flip_metric_properties():
+    """FLIP: zero for identical images, monotone in perturbation size,
+    larger for structured (edge) errors than equal-energy flat offsets."""
+    from pbrt_tpu.utils.flip import flip_error_map, mean_flip
+
+    rng = np.random.default_rng(5)
+    img = rng.random((48, 48, 3)).astype(np.float32) * 0.5
+    assert mean_flip(img, img) < 1e-6
+    small = mean_flip(img, np.clip(img + 0.02, 0, 1))
+    large = mean_flip(img, np.clip(img + 0.2, 0, 1))
+    assert 0.0 < small < large <= 1.0
+    m = flip_error_map(img, np.clip(img + 0.1, 0, 1))
+    assert m.shape == (48, 48)
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+
+
+def test_imgtool_error_convergence(tmp_path):
+    """`error` reports per-image metrics and ~O(1/N) MSE convergence for
+    averaged white-noise images."""
+    import json
+    import subprocess
+    import sys
+
+    from pbrt_tpu.io.image import write_exr
+
+    rng = np.random.default_rng(0)
+    ref = np.full((16, 16, 3), 0.5, np.float32)
+    write_exr(str(tmp_path / "ref.exr"), ref)
+    files = []
+    acc = np.zeros_like(ref)
+    for i in range(1, 5):
+        acc += rng.random(ref.shape).astype(np.float32)
+        img = acc / i  # MSE ~ 1/(12 i)
+        f = str(tmp_path / f"r{i}.exr")
+        write_exr(f, img)
+        files.append(f)
+    r = subprocess.run(
+        [sys.executable, "-m", "pbrt_tpu.tools.imgtool", "error",
+         *files, "--reference", str(tmp_path / "ref.exr")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert len(out["images"]) == 4
+    mses = [row["mse"] for row in out["images"]]
+    assert mses[0] > mses[-1]
+    assert 0.5 < out["mse_convergence_order"] < 1.5
+
+
+def test_imgtool_makesky(tmp_path):
+    """makesky: horizon-to-zenith gradient, sun disk present, below-horizon
+    black."""
+    import subprocess
+    import sys
+
+    from pbrt_tpu.io.image import read_exr
+
+    f = str(tmp_path / "sky.exr")
+    r = subprocess.run(
+        [sys.executable, "-m", "pbrt_tpu.tools.imgtool", "makesky", f,
+         "--resolution", "32", "--elevation", "40",
+         "--sun-half-angle", "4.0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    img, chans, _ = read_exr(f)
+    rgb = np.stack([img[..., chans.index(c)] for c in "RGB"], -1)
+    assert rgb.shape == (32, 64, 3)
+    assert np.isfinite(rgb).all()
+    upper = rgb[: 14].mean()
+    below = rgb[18:].mean()
+    assert upper > 0.01
+    assert below < 0.01 * upper  # below horizon dark
+    assert rgb.max() > 50.0  # the sun disk
