@@ -244,3 +244,119 @@ def equal_area_sphere_to_square(d):
     u2 = jnp.where(d[..., 0] >= 0.0, u2, -u2)
     v2 = jnp.where(d[..., 1] >= 0.0, v2, -v2)
     return jnp.stack([0.5 * (u2 + 1.0), 0.5 * (v2 + 1.0)], axis=-1)
+
+
+# --- DirectionCone (vecmath.h:573-660) --------------------------------------
+
+
+from .pytree import pytree as _pytree  # noqa: E402
+
+
+@_pytree
+class DirectionCone:
+    """Cone of directions: axis w + cos of the spread half-angle.
+
+    Reference analogue: DirectionCone (util/vecmath.h:573), used by light
+    bounds (CompactLightBounds) and BoundSubtendedDirections. cos_theta = 1
+    is a single direction; cos_theta = -1 the whole sphere; an EMPTY cone is
+    encoded with cos_theta = +2 (matches the reference sentinel ordering:
+    any union with it returns the other cone).
+    """
+
+    w: jnp.ndarray  # (..., 3) unit axis
+    cos_theta: jnp.ndarray  # (...,)
+
+    @staticmethod
+    def entire_sphere():
+        return DirectionCone(
+            w=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+            cos_theta=jnp.asarray(-1.0, jnp.float32),
+        )
+
+    @staticmethod
+    def from_direction(w):
+        w = jnp.asarray(w, jnp.float32)
+        return DirectionCone(
+            w=w, cos_theta=jnp.ones(w.shape[:-1], jnp.float32)
+        )
+
+    @property
+    def is_empty(self):
+        return self.cos_theta > 1.0
+
+    def inside(self, v):
+        """Is direction v within the cone? (vecmath.h Inside)."""
+        return (~self.is_empty) & (
+            jnp.sum(normalize(v) * self.w, axis=-1) >= self.cos_theta
+        )
+
+
+def bound_subtended_directions(lo, hi, p):
+    """DirectionCone of directions from p toward the AABB [lo, hi]
+    (vecmath.h BoundSubtendedDirections): the cone around the center
+    direction subtending the bounding sphere; whole sphere when p is
+    inside that sphere."""
+    center = 0.5 * (jnp.asarray(lo) + jnp.asarray(hi))
+    radius = 0.5 * jnp.sqrt(jnp.sum((jnp.asarray(hi) - jnp.asarray(lo)) ** 2, -1))
+    to_c = center - p
+    d2 = jnp.sum(to_c * to_c, axis=-1)
+    inside_sphere = d2 < radius * radius
+    sin2 = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    cos_theta = jnp.sqrt(1.0 - sin2)
+    w = to_c / jnp.maximum(jnp.sqrt(d2), 1e-12)[..., None]
+    return DirectionCone(
+        w=jnp.where(inside_sphere[..., None], jnp.zeros_like(w).at[..., 2].set(1.0), w),
+        cos_theta=jnp.where(inside_sphere, -1.0, cos_theta),
+    )
+
+
+def direction_cone_union(a: DirectionCone, b: DirectionCone) -> DirectionCone:
+    """Smallest cone containing both (vecmath.h Union, vectorized and
+    branch-free: all four cases — either empty, containment both ways, and
+    the general merged cone — are computed and where-selected)."""
+    ta = jnp.arccos(jnp.clip(a.cos_theta, -1.0, 1.0))
+    tb = jnp.arccos(jnp.clip(b.cos_theta, -1.0, 1.0))
+    td = jnp.arccos(jnp.clip(jnp.sum(a.w * b.w, axis=-1), -1.0, 1.0))
+    # b inside a / a inside b.
+    b_in_a = jnp.minimum(td + tb, jnp.pi) <= ta
+    a_in_b = jnp.minimum(td + ta, jnp.pi) <= tb
+    # General case: spread angle around the rotated center axis.
+    theta_o = 0.5 * (ta + td + tb)
+    whole = theta_o >= jnp.pi
+    theta_r = jnp.clip(theta_o - ta, 0.0, jnp.pi)
+    # Rotate a.w toward b.w by theta_r.
+    axis = jnp.cross(a.w, b.w)
+    alen = jnp.sqrt(jnp.sum(axis * axis, axis=-1))
+    degenerate = alen < 1e-8
+    axis_n = axis / jnp.maximum(alen, 1e-12)[..., None]
+    c = jnp.cos(theta_r)[..., None]
+    s = jnp.sin(theta_r)[..., None]
+    w_rot = (
+        a.w * c
+        + jnp.cross(axis_n, a.w) * s
+        + axis_n * jnp.sum(axis_n * a.w, -1, keepdims=True) * (1.0 - c)
+    )
+    w_gen = jnp.where(degenerate[..., None], a.w, w_rot)
+    cos_gen = jnp.where(whole, -1.0, jnp.cos(theta_o))
+
+    w = jnp.where(
+        a.is_empty[..., None], b.w,
+        jnp.where(
+            b.is_empty[..., None], a.w,
+            jnp.where(
+                b_in_a[..., None], a.w,
+                jnp.where(a_in_b[..., None], b.w, w_gen),
+            ),
+        ),
+    )
+    ct = jnp.where(
+        a.is_empty, b.cos_theta,
+        jnp.where(
+            b.is_empty, a.cos_theta,
+            jnp.where(
+                b_in_a, a.cos_theta,
+                jnp.where(a_in_b, b.cos_theta, cos_gen),
+            ),
+        ),
+    )
+    return DirectionCone(w=w, cos_theta=ct)

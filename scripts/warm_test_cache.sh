@@ -1,7 +1,7 @@
 #!/bin/bash
 # Warm the per-file JAX compilation cache (see conftest.py) by running each
 # test module in its own process; crashes stay isolated to one module.
-cd "$(dirname "$0")"
+cd "$(dirname "$0")/.."
 fail=0
 for f in tests/test_*.py; do
   echo "=== $f"
