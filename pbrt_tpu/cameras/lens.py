@@ -191,3 +191,27 @@ def trace_through_stack(stack: LensStack, o, d, eta_start=1.0):
         body, (o, d, valid0), jnp.arange(n_s)
     )
     return o_out, d_out, valid
+
+
+def load_lens_file(path: str, eta_scene: float = 1.0) -> LensStack:
+    """Parse a pbrt .dat lens description file.
+
+    Format (cameras.cpp RealisticCamera::Create): whitespace-separated rows
+    `curvature_radius thickness eta aperture_diameter`, front (scene side)
+    first, '#' comments. Distances in mm; eta 0 means air; radius 0 marks
+    the aperture stop plane.
+    """
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            vals = [float(v) for v in line.split()]
+            if len(vals) != 4:
+                raise ValueError(f"bad lens row: {line!r}")
+            rows.append(vals)
+    if not rows:
+        raise ValueError(f"empty lens file: {path}")
+    return LensStack.from_pbrt_elements(np.asarray(rows, np.float64),
+                                        eta_scene=eta_scene)

@@ -1008,7 +1008,38 @@ class PbrtParser:
         camera = PerspectiveCamera(
             camera_to_world=c2w, resolution=self.resolution, fov_deg=fov
         )
-        if self.camera_type != "perspective":
+        if self.camera_type == "realistic":
+            lensfile = _get(self.camera_params, "lensfile")
+            if lensfile:
+                from ..cameras.lens import load_lens_file
+                from ..cameras.realistic import RealisticCamera
+
+                try:
+                    lens = load_lens_file(
+                        os.path.join(self.base_dir, lensfile)
+                    )
+                    camera = RealisticCamera.create(
+                        camera_to_world=c2w, lens=lens,
+                        resolution=self.resolution,
+                        film_diag_mm=float(
+                            _get(self.camera_params, "filmdiag", 35.0)
+                        ),
+                    )
+                    if _get(self.camera_params, "aperturediameter"):
+                        self.warnings.append(
+                            "aperturediameter override not applied; edit "
+                            "the lens file's stop row instead"
+                        )
+                except Exception as e:
+                    self.warnings.append(
+                        f"lensfile '{lensfile}': {e}; falling back to "
+                        "perspective"
+                    )
+            else:
+                self.warnings.append(
+                    "realistic camera without lensfile; using perspective"
+                )
+        elif self.camera_type != "perspective":
             self.warnings.append(
                 f"camera {self.camera_type} loaded as perspective; build the "
                 "specialty camera explicitly from pbrt_tpu.cameras"

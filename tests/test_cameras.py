@@ -147,3 +147,85 @@ def test_ortho_and_spherical():
     # Directions cover all octants.
     signs = set(map(tuple, np.sign(np.asarray(d)).astype(int)))
     assert len(signs) >= 6
+
+
+def test_lens_file_and_exit_pupil():
+    """.dat lens loading (cameras.cpp RealisticCamera::Create format) and
+    exit-pupil-bounded sampling (ComputeExitPupilBounds): the pupil window
+    shrinks to ~the stop image, and the weighted estimator matches
+    full-disk sampling in expectation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pbrt_tpu.cameras.lens import load_lens_file
+    from pbrt_tpu.cameras.realistic import RealisticCamera
+    from pbrt_tpu.core.transform import Transform
+
+    lens = load_lens_file("examples/lenses/doublet.dat")
+    assert lens.n_surfaces == 5
+    # Aperture stop row: planar with 5mm radius.
+    r2 = np.asarray(lens.aperture2)
+    assert (np.abs(np.sqrt(r2) - 5.0) < 1e-4).any()
+
+    c2w = Transform.identity()
+    cam_ep = RealisticCamera.create(
+        c2w, lens, resolution=(32, 32), exit_pupil=True
+    )
+    cam_full = RealisticCamera(
+        camera_to_world=c2w, lens=lens, resolution=(32, 32)
+    )
+    assert cam_ep.pupil_bounds is not None
+    b = np.asarray(cam_ep.pupil_bounds)
+    rear_r = float(np.sqrt(np.asarray(lens.aperture2)[0]))
+    areas = np.maximum((b[:, 1] - b[:, 0]) * (b[:, 3] - b[:, 2]), 0.0)
+    disk = np.pi * rear_r * rear_r
+    # The 10mm stop vignettes most of the 25mm rear element:
+    assert areas.max() < 0.6 * disk, (areas.max(), disk)
+
+    # Expectation preservation: E[w_exit_pupil] == E[valid_full_disk].
+    n = 20000
+    rng = np.random.default_rng(0)
+    pf = jnp.asarray(
+        np.tile(np.asarray([[16.0, 16.0]]), (n, 1)), jnp.float32
+    )
+    u = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    _, _, w_ep = cam_ep.generate_rays(pf, u)
+    _, _, w_fd = cam_full.generate_rays(pf, u)
+    m_ep = float(jnp.mean(w_ep))
+    m_fd = float(jnp.mean(w_fd))
+    assert m_fd > 0.0
+    assert abs(m_ep - m_fd) < 0.15 * m_fd, (m_ep, m_fd)
+    # Efficiency: nearly all pupil-window samples survive vs a minority of
+    # full-disk samples.
+    frac_ep_valid = float(jnp.mean((w_ep > 0).astype(jnp.float32)))
+    frac_fd_valid = float(jnp.mean((w_fd > 0).astype(jnp.float32)))
+    assert frac_ep_valid > 2.0 * frac_fd_valid, (frac_ep_valid, frac_fd_valid)
+
+
+def test_parser_realistic_camera(tmp_path):
+    import shutil
+
+    import numpy as np
+
+    shutil.copy("examples/lenses/doublet.dat", tmp_path / "lens.dat")
+    scene_file = tmp_path / "cam.pbrt"
+    scene_file.write_text(
+        """
+Camera "realistic" "string lensfile" ["lens.dat"]
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+AreaLightSource "diffuse" "rgb L" [5 5 5]
+Shape "trianglemesh" "integer indices" [0 1 2]
+    "point3 P" [-500 -500 2000  0 500 2000  500 -500 2000]
+"""
+    )
+    from pbrt_tpu.io.parser import load_pbrt
+    from pbrt_tpu.cameras.realistic import RealisticCamera
+    from pbrt_tpu.render import render
+
+    scene, camera, settings = load_pbrt(str(scene_file))
+    assert isinstance(camera, RealisticCamera)
+    img = np.asarray(render(
+        scene, camera, settings["integrator"], spp=4, samples_per_pass=2
+    ))
+    assert np.isfinite(img).all()
