@@ -42,14 +42,28 @@ def _sphere_best(geom, o, d, tmax):
 
 def closest(scene, o, d, tmax=None) -> Interaction:
     geom = scene.geom
-    if scene.bvh is None and getattr(scene, "clusters", None) is None:
+    small = getattr(scene, "small", None)
+    if scene.bvh is None and getattr(scene, "clusters", None) is None \
+            and small is None:
         return dense.intersect_closest(geom, o, d, tmax)
 
     n_rays = o.shape[0]
     if tmax is None:
         tmax = jnp.full((n_rays,), _INF, o.dtype)
 
-    if scene.clusters is not None:
+    if small is not None and jax.default_backend() != "cpu":
+        # The brute-force VMEM kernel; on CPU the interpreter would walk
+        # the grid in Python, so the dense XLA tester (bit-equivalent,
+        # gated by tests/test_intersect.py) serves there instead.
+        from ..ops.smallscene import smallscene_intersect
+
+        res = smallscene_intersect(small, o, d, tmax, any_hit=False)
+        t, prim = res["t"], res["prim"]
+        u, v, ng = res["u"], res["v"], res["n"]
+        mat, light = res["mat"], res["light"]
+    elif small is not None:
+        return dense.intersect_closest(geom, o, d, tmax)
+    elif scene.clusters is not None:
         from ..ops.cluster import cluster_intersect
 
         interp = jax.default_backend() == "cpu"
@@ -129,9 +143,18 @@ def closest(scene, o, d, tmax=None) -> Interaction:
 
 def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     geom = scene.geom
-    if scene.bvh is None and getattr(scene, "clusters", None) is None:
+    small = getattr(scene, "small", None)
+    if scene.bvh is None and getattr(scene, "clusters", None) is None \
+            and small is None:
         return dense.intersect_any(geom, o, d, tmax)
-    if scene.clusters is not None:
+    if small is not None and jax.default_backend() != "cpu":
+        from ..ops.smallscene import smallscene_intersect
+
+        res = smallscene_intersect(small, o, d, tmax, any_hit=True)
+        occ = res["prim"] >= 0
+    elif small is not None:
+        return dense.intersect_any(geom, o, d, tmax)
+    elif scene.clusters is not None:
         from ..ops.cluster import cluster_intersect
 
         interp = jax.default_backend() == "cpu"

@@ -32,19 +32,33 @@ class Scene:
     # Optional Pallas cluster accelerator (ops.cluster.ClusterAccel) —
     # preferred over `bvh` when present.
     clusters: Optional[object] = None
+    # Optional Pallas brute-force small-scene intersector
+    # (ops.smallscene.SmallTriAccel) — used below the cluster threshold.
+    small: Optional[object] = None
 
     def with_accel(self, threshold: int = 1024) -> "Scene":
-        """Attach the cluster accelerator when the triangle count warrants it.
+        """Attach the triangle intersector fitting the scene size.
 
-        Below `threshold` triangles the dense lane-aligned tester wins on
-        TPU; above it, Morton clusters + the Pallas cull/test kernel.
+        Up to `threshold` triangles: the Pallas brute-force VMEM kernel
+        (ops/smallscene.py — scalar-broadcast triangle walk, ~10x the XLA
+        dense tester). Above it: Morton clusters + the Pallas cull/test
+        kernel (ops/cluster.py).
         """
         import numpy as np
 
         from .ops.cluster import build_clusters
+        from .ops.smallscene import build_smallscene
 
-        if self.geom.num_triangles <= threshold:
+        if self.geom.num_triangles == 0:
             return self
+        if self.geom.num_triangles <= threshold:
+            return self.replace(
+                small=build_smallscene(
+                    np.asarray(self.geom.tri_verts),
+                    np.asarray(self.geom.tri_mat),
+                    np.asarray(self.geom.tri_light),
+                )
+            )
         return self.replace(
             clusters=build_clusters(
                 np.asarray(self.geom.tri_verts),
