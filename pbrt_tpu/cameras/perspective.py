@@ -27,6 +27,10 @@ class PerspectiveCamera:
     focal_distance: float = static_field(default=1e6)
     shutter_open: float = static_field(default=0.0)
     shutter_close: float = static_field(default=1.0)
+    # Camera motion blur: AnimatedTransform replacing camera_to_world over
+    # the shutter interval (CameraBase + AnimatedTransform in the
+    # reference, cameras.h:87 CameraTransform).
+    motion: object = None
 
     def _screen_window(self):
         nx, ny = self.resolution
@@ -35,10 +39,17 @@ class PerspectiveCamera:
             return (-aspect, aspect, -1.0, 1.0)
         return (-1.0, 1.0, -1.0 / aspect, 1.0 / aspect)
 
-    def generate_rays(self, p_film, u_lens=None):
+    def sample_time(self, u_time):
+        """Map a uniform sample to a shutter time (CameraBase::SampleTime)."""
+        return self.shutter_open + u_time * (
+            self.shutter_close - self.shutter_open
+        )
+
+    def generate_rays(self, p_film, u_lens=None, time=None):
         """p_film: (N, 2) continuous raster coords in [0,nx)x[0,ny).
 
-        Returns (o, d) world-space rays, unit direction.
+        Returns (o, d) world-space rays, unit direction. time: optional (N,)
+        shutter times — used when `motion` is set (camera motion blur).
         Reference: PerspectiveCamera::GenerateRay (cameras.cpp).
         """
         nx, ny = self.resolution
@@ -61,6 +72,10 @@ class PerspectiveCamera:
             )
             d_cam = p_focus - o_cam
         d_cam = normalize(d_cam)
+        if self.motion is not None and time is not None:
+            o_w = self.motion.apply_point(o_cam, time)
+            d_w = self.motion.apply_vector(d_cam, time)
+            return o_w, normalize(d_w)
         o_w = self.camera_to_world.apply_point(o_cam)
         d_w = self.camera_to_world.apply_vector(d_cam)
         return o_w, d_w

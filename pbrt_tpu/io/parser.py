@@ -101,7 +101,7 @@ _DIRECTIVES = {
     "Material", "MakeNamedMaterial", "NamedMaterial", "Texture", "Shape",
     "LightSource", "AreaLightSource", "MakeNamedMedium", "MediumInterface",
     "Include", "Import", "ColorSpace", "CoordinateSystem", "CoordSysTransform",
-    "ConcatTransform", "Attribute",
+    "ConcatTransform", "Attribute", "TransformTimes", "ActiveTransform",
 }
 
 
@@ -200,6 +200,7 @@ class PbrtParser:
         # objects (instancing)
         self.objects = {}
         self.cur_object = None
+        self.transform_times = (0.0, 1.0)
         self.warnings = []
 
     # -- transforms ----------------------------------------------------------
@@ -348,6 +349,19 @@ class PbrtParser:
 
     def _d_ReverseOrientation(self, ts):
         self.reverse = not self.reverse
+
+    def _d_TransformTimes(self, ts):
+        """TransformTimes start end: shutter interval for animated
+        transforms (scene.cpp TransformTimes)."""
+        self.transform_times = (float(ts.next()), float(ts.next()))
+
+    def _d_ActiveTransform(self, ts):
+        which = ts.next()
+        self.warnings.append(
+            f"ActiveTransform {which}: keyframed scene transforms are "
+            "supported programmatically (core.transform.AnimatedTransform "
+            "+ camera.motion); per-shape animation is a planned tier"
+        )
 
     def _d_Include(self, ts):
         name = ts.next()[1:-1]

@@ -52,7 +52,12 @@ def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True,
     py = (pixel // nx).astype(jnp.float32) + jy
     p_film = jnp.stack([px, py], axis=-1)
     ul0, ul1 = sampler.get_2d(pixel, sample_idx, 2)
-    out = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1))
+    kw = {}
+    if getattr(camera, "motion", None) is not None:
+        # Shutter-time sample (dim 5) drives camera motion blur.
+        u_t = sampler.get_1d(pixel, sample_idx, 5)
+        kw["time"] = camera.sample_time(u_t)
+    out = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1), **kw)
     if len(out) == 3:
         o, d, w = out
     else:

@@ -229,3 +229,80 @@ Shape "trianglemesh" "integer indices" [0 1 2]
         scene, camera, settings["integrator"], spp=4, samples_per_pass=2
     ))
     assert np.isfinite(img).all()
+
+
+def test_animated_transform_and_motion_blur():
+    """AnimatedTransform interpolation endpoints/midpoint + camera motion
+    blur: a moving camera smears a bright quad along the motion axis."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pbrt_tpu.core import transform as tfm
+    from pbrt_tpu.core.transform import AnimatedTransform
+
+    a = tfm.translate((0.0, 0.0, 0.0))
+    b = tfm.translate((2.0, 0.0, 0.0)) @ tfm.rotate_z(90.0)
+    at = AnimatedTransform.build(a, b)
+    p = jnp.asarray([[1.0, 0.0, 0.0]])
+    # Endpoints match the keyframes.
+    np.testing.assert_allclose(
+        np.asarray(at.apply_point(p, jnp.asarray([0.0]))),
+        np.asarray(a.apply_point(p)), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(at.apply_point(p, jnp.asarray([1.0]))),
+        np.asarray(b.apply_point(p)), atol=1e-5,
+    )
+    # Midpoint: rotation half way (45 deg), translation half way.
+    mid = np.asarray(at.apply_point(p, jnp.asarray([0.5])))[0]
+    want = np.asarray([1.0 + np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0])
+    np.testing.assert_allclose(mid, want, atol=1e-4)
+
+    # Motion blur render: camera translating sideways during the shutter.
+    from pbrt_tpu.lights.buffers import LightBuffers
+    from pbrt_tpu.materials.buffers import MaterialBuffers
+    from pbrt_tpu.models.path import PathIntegrator
+    from pbrt_tpu.render import render
+    from pbrt_tpu.scene import Scene
+    from pbrt_tpu.shapes.geometry import GeometryBuffers
+    from pbrt_tpu.cameras.perspective import PerspectiveCamera
+
+    quad = np.asarray(
+        [[[-0.2, -0.2, 4.0], [0.2, 0.2, 4.0], [0.2, -0.2, 4.0]],
+         [[-0.2, -0.2, 4.0], [-0.2, 0.2, 4.0], [0.2, 0.2, 4.0]]],
+        np.float32,
+    )
+    lights_list = [
+        {"verts": quad[0][::-1].copy(), "rgb": (8, 8, 8)},
+        {"verts": quad[1][::-1].copy(), "rgb": (8, 8, 8)},
+    ]
+    scene = Scene(
+        geom=GeometryBuffers.build(
+            tri_verts=quad, tri_mat=np.zeros(2, np.int32),
+            tri_light=np.asarray([0, 1], np.int32),
+        ),
+        materials=MaterialBuffers.build([{"kind": 0, "albedo": (0.5,) * 3}]),
+        lights=LightBuffers.build(area_tris=lights_list),
+    )
+    motion = AnimatedTransform.build(
+        tfm.translate((0.0, 0.0, 0.0)), tfm.translate((1.2, 0.0, 0.0))
+    )
+    cam_static = PerspectiveCamera(
+        camera_to_world=tfm.Transform.identity(), resolution=(32, 32),
+        fov_deg=40.0,
+    )
+    cam_moving = cam_static.replace(motion=motion)
+    img_s = np.asarray(render(
+        scene, cam_static, PathIntegrator(max_depth=1), spp=16,
+        samples_per_pass=4, seed=3,
+    ))
+    img_m = np.asarray(render(
+        scene, cam_moving, PathIntegrator(max_depth=1), spp=16,
+        samples_per_pass=4, seed=3,
+    ))
+    # The moving camera spreads the emitter across more columns.
+    cols_s = (img_s.mean(axis=(0, 2)) > 0.05).sum()
+    cols_m = (img_m.mean(axis=(0, 2)) > 0.05).sum()
+    assert cols_m > cols_s * 1.5, (cols_s, cols_m)
+    # Energy roughly conserved (smeared, not lost).
+    assert abs(img_m.sum() - img_s.sum()) < 0.5 * img_s.sum()
