@@ -49,7 +49,18 @@ from ..shapes.geometry import GeometryBuffers
 
 
 def tokenize(text: str):
-    """pbrt tokens: strings, brackets, numbers/identifiers; # comments."""
+    """pbrt tokens: strings, brackets, numbers/identifiers; # comments.
+
+    Dispatches to the native C++ tokenizer (pbrt_tpu/native/tokenizer.cpp,
+    the counterpart of the reference's parser.h Tokenizer) when the
+    toolchain is available; this pure-Python path is the fallback and the
+    behavioral specification.
+    """
+    from ..native import tokenize_native
+
+    native = tokenize_native(text)
+    if native is not None:
+        return native
     toks = []
     i, n = 0, len(text)
     while i < n:
