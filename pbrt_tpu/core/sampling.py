@@ -301,3 +301,127 @@ class VarianceEstimator:
 
     def variance(self):
         return jnp.where(self.n > 1, self.s / jnp.maximum(self.n - 1, 1), 0.0)
+
+
+@pytree
+class WindowedPiecewiseConstant2D:
+    """Piecewise-constant 2D distribution sampled within per-query windows.
+
+    Reference analogue: WindowedPiecewiseConstant2D
+    (src/pbrt/util/sampling.h:122-239): a summed-area table answers
+    integrals over any [x0,x1]x[y0,y1] window in O(1), and sampling inverts
+    the windowed marginal/conditional CDFs by bisection. The reference
+    bisects with pointer recursion per sample; here both inversions are
+    fixed-count vectorized bisections (log2-resolution steps), so a whole
+    shading-point batch samples in lockstep.
+    """
+
+    func: jnp.ndarray  # (ny, nx)
+    sat: jnp.ndarray  # (ny + 1, nx + 1) inclusive summed-area table
+
+    @staticmethod
+    def build(func) -> "WindowedPiecewiseConstant2D":
+        f = jnp.abs(jnp.asarray(func, jnp.float32))
+        ny, nx = f.shape
+        sat = jnp.cumsum(jnp.cumsum(f, axis=0), axis=1) / (nx * ny)
+        sat = jnp.pad(sat, ((1, 0), (1, 0)))
+        return WindowedPiecewiseConstant2D(func=f, sat=sat)
+
+    def _sat_lookup(self, x, y):
+        """Continuous SAT evaluation at (x, y) in [0,1]^2 (bilinear between
+        SAT entries — exact for the piecewise-constant integrand)."""
+        ny, nx = self.func.shape
+        fx = jnp.clip(x, 0.0, 1.0) * nx
+        fy = jnp.clip(y, 0.0, 1.0) * ny
+        x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
+        y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
+        tx = fx - x0
+        ty = fy - y0
+
+        def at(yy, xx):
+            return self.sat[yy, xx]
+
+        v00 = at(y0, x0)
+        v10 = at(y0, x0 + 1)
+        v01 = at(y0 + 1, x0)
+        v11 = at(y0 + 1, x0 + 1)
+        return (
+            v00 * (1 - tx) * (1 - ty) + v10 * tx * (1 - ty)
+            + v01 * (1 - tx) * ty + v11 * tx * ty
+        )
+
+    def window_integral(self, b):
+        """Integral over windows b = (..., 4) [x0, x1, y0, y1]."""
+        return (
+            self._sat_lookup(b[..., 1], b[..., 3])
+            - self._sat_lookup(b[..., 0], b[..., 3])
+            - self._sat_lookup(b[..., 1], b[..., 2])
+            + self._sat_lookup(b[..., 0], b[..., 2])
+        )
+
+    def sample(self, u2, b):
+        """Sample within windows b: returns ((..., 2) p, pdf). pdf is w.r.t.
+        the unit square measure, normalized over the window."""
+        ny, nx = self.func.shape
+        n_steps = max(nx, ny).bit_length() + 6
+        bint = self.window_integral(b)
+        ok = bint > 0.0
+        x0, x1 = b[..., 0], b[..., 1]
+        y0, y1 = b[..., 2], b[..., 3]
+
+        # Marginal in x: Fx(x) = I(x0..x, y0..y1) / I(window).
+        def fx(x):
+            return (
+                self._sat_lookup(x, y1) - self._sat_lookup(x, y0)
+                - self._sat_lookup(x0, y1) + self._sat_lookup(x0, y0)
+            )
+
+        target_x = u2[..., 0] * jnp.maximum(bint, 1e-38)
+        lo, hi = x0, x1
+        for _ in range(n_steps):
+            mid = 0.5 * (lo + hi)
+            below = fx(mid) < target_x
+            lo = jnp.where(below, mid, lo)
+            hi = jnp.where(below, hi, mid)
+        px = 0.5 * (lo + hi)
+
+        # Conditional in y at the sampled x column (one-texel-wide window).
+        xs = jnp.clip(jnp.floor(px * nx), 0.0, nx - 1.0) / nx
+        xe = xs + 1.0 / nx
+
+        def fy(y):
+            return (
+                self._sat_lookup(xe, y) - self._sat_lookup(xs, y)
+                - self._sat_lookup(xe, y0) + self._sat_lookup(xs, y0)
+            )
+
+        col_int = fy(y1)
+        target_y = u2[..., 1] * jnp.maximum(col_int, 1e-38)
+        lo, hi = y0, y1
+        for _ in range(n_steps):
+            mid = 0.5 * (lo + hi)
+            below = fy(mid) < target_y
+            lo = jnp.where(below, mid, lo)
+            hi = jnp.where(below, hi, mid)
+        py = 0.5 * (lo + hi)
+
+        p = jnp.stack([px, py], axis=-1)
+        pdf = self.pdf(p, b)
+        return jnp.where(ok[..., None], p, 0.5), jnp.where(ok, pdf, 0.0)
+
+    def pdf(self, p, b):
+        """Window-normalized density at p (0 outside the window)."""
+        ny, nx = self.func.shape
+        ix = jnp.clip((p[..., 0] * nx).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip((p[..., 1] * ny).astype(jnp.int32), 0, ny - 1)
+        f = self.func[iy, ix]
+        bint = self.window_integral(b)
+        inside = (
+            (p[..., 0] >= b[..., 0]) & (p[..., 0] <= b[..., 1])
+            & (p[..., 1] >= b[..., 2]) & (p[..., 1] <= b[..., 3])
+        )
+        # density over the unit square: f integrates to bint with texel
+        # area 1/(nx*ny) already folded into the SAT normalization.
+        return jnp.where(
+            inside & (bint > 0.0), f / jnp.maximum(bint, 1e-38), 0.0
+        )

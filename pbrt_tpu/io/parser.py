@@ -694,12 +694,36 @@ class PbrtParser:
                 "scale": scale,
             }
             img = self._light_image(p)
-            if img is not None:
+            portal = _get_vec(p, "portal")
+            if img is not None and portal is not None:
+                # PortalImageInfiniteLight (lights.h:738): environment
+                # sampled through a rectangular portal window.
+                from ..lights.portal import PortalLight
+
+                corners = self._pts(
+                    np.asarray(portal, np.float64).reshape(4, 3)
+                )
+                self.envmap = PortalLight.build(
+                    np.asarray(img) * scale, corners
+                )
+                self.infinite = None
+            elif img is not None:
                 from ..lights.envmap import EnvironmentMap
 
                 self.envmap = EnvironmentMap.from_latlong(
                     np.asarray(img) * scale
                 )
+                self.infinite = None
+            elif portal is not None:
+                from ..lights.portal import PortalLight
+
+                corners = self._pts(
+                    np.asarray(portal, np.float64).reshape(4, 3)
+                )
+                flat = np.ones((8, 16, 3), np.float32) * np.asarray(
+                    self.infinite["rgb"], np.float32
+                ) * scale
+                self.envmap = PortalLight.build(flat, corners)
                 self.infinite = None
         else:
             self.warnings.append(f"light {ltype} unsupported; skipped")

@@ -522,9 +522,16 @@ class LightBuffers:
         L = eval_emission(g[:, 9:12], g[:, 12], g[:, 13] > 0.5, lam)
         return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
 
-    def escaped_radiance(self, d, lam):
-        """Radiance for rays escaping in direction d (infinite/env light)."""
+    def escaped_radiance(self, d, lam, p_ref=None):
+        """Radiance for rays escaping in direction d (infinite/env light).
+
+        p_ref: escape-ray origins — required for the portal light, whose
+        visible environment is windowed per origin (lights.cpp Portal Le)."""
         if self.has_env:
+            from .portal import PortalLight
+
+            if isinstance(self.env, PortalLight):
+                return self.env.radiance(d, lam, p_ref)
             return self.env.radiance(d, lam)
         if not self.has_infinite:
             return jnp.zeros_like(lam)
@@ -535,7 +542,7 @@ class LightBuffers:
             lam,
         )
 
-    def pdf_escaped(self, d):
+    def pdf_escaped(self, d, p_ref=None):
         """Solid-angle pdf that NEE sampling produced direction d toward the
         infinite light, including its selection pmf (for MIS on escaped
         rays). Zero when there is no infinite light."""
@@ -548,6 +555,12 @@ class LightBuffers:
                 self.has_env or self.has_infinite
             ) else 0.0
         if self.has_env:
+            from .portal import PortalLight
+
+            if isinstance(self.env, PortalLight):
+                return self.env.pdf_dir(
+                    d, p_ref if p_ref is not None else jnp.zeros_like(d)
+                ) * pmf
             return self.env.pdf_dir(d) * pmf
         if self.has_infinite:
             return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi)) * pmf
@@ -739,7 +752,12 @@ class LightBuffers:
         if self.has_env or self.has_infinite:
             use = idx == (na + npt + nsp + nj + ng + nd)
             if self.has_env:
-                wi_e, L_e, pdf_e = self.env.sample(u_pos, lam)
+                from .portal import PortalLight
+
+                if isinstance(self.env, PortalLight):
+                    wi_e, L_e, pdf_e = self.env.sample(u_pos, lam, p_ref)
+                else:
+                    wi_e, L_e, pdf_e = self.env.sample(u_pos, lam)
             else:
                 from ..core.sampling import sample_uniform_sphere
 

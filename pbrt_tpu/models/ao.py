@@ -112,7 +112,7 @@ class RandomWalkIntegrator:
             escaped = active & ~isect.valid
             L = L + jnp.where(
                 escaped[..., None],
-                beta * scene.lights.escaped_radiance(d, lam),
+                beta * scene.lights.escaped_radiance(d, lam, o),
                 0.0,
             )
             ns = isect.n * jnp.sign(

@@ -116,7 +116,7 @@ class PathIntegrator:
                         carry["specular"],
                         1.0,
                         power_heuristic(
-                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d)
+                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d, o)
                         ),
                     )
                 elif self.use_nee:
@@ -125,7 +125,7 @@ class PathIntegrator:
                     w_esc = jnp.ones_like(carry["prev_pdf"])
                 L = L + jnp.where(
                     escaped[..., None],
-                    beta * w_esc[..., None] * scene.lights.escaped_radiance(d, lam),
+                    beta * w_esc[..., None] * scene.lights.escaped_radiance(d, lam, o),
                     0.0,
                 )
 

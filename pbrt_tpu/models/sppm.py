@@ -185,13 +185,13 @@ class SPPMIntegrator:
                 w_esc = jnp.where(
                     carry["specular"], 1.0,
                     power_heuristic(
-                        1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d)
+                        1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d, o)
                     ),
                 )
                 Ld = Ld + jnp.where(
                     escaped[..., None],
                     beta * w_esc[..., None]
-                    * scene.lights.escaped_radiance(d, lam),
+                    * scene.lights.escaped_radiance(d, lam, o),
                     0.0,
                 )
 

@@ -323,7 +323,7 @@ class VolPathIntegrator:
                         carry["specular"],
                         1.0,
                         power_heuristic(
-                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d)
+                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d, o)
                         ),
                     )
                 elif self.use_nee:
@@ -332,7 +332,7 @@ class VolPathIntegrator:
                     w_esc = jnp.ones_like(carry["prev_pdf"])
                 L = L + jnp.where(
                     escaped_rays[..., None],
-                    beta * w_esc[..., None] * scene.lights.escaped_radiance(d, lam),
+                    beta * w_esc[..., None] * scene.lights.escaped_radiance(d, lam, o),
                     0.0,
                 )
 
