@@ -395,11 +395,37 @@ class PbrtParser:
             tex_id = self._tex_ref(p, "albedo")
         if tex_id >= 0:
             spec["albedo_texture"] = tex_id
-        if mtype in ("diffuse", "subsurface", "matte"):
+        if mtype in ("diffuse", "matte"):
             spec["kind"] = MAT_DIFFUSE
             if mtype != "diffuse":
                 self.warnings.append(
                     f"material {mtype} approximated as diffuse"
+                )
+        elif mtype == "subsurface":
+            # SubsurfaceMaterial (materials.h): sigma_a/sigma_s define the
+            # single-scattering albedo + mean free path driving the Burley
+            # diffusion profile (materials/bssrdf.py).
+            from ..materials.buffers import MAT_SUBSURFACE
+
+            spec["kind"] = MAT_SUBSURFACE
+            sa = _get_vec(p, "sigma_a")
+            ssv = _get_vec(p, "sigma_s")
+            spec["eta"] = float(_get(p, "eta", 1.33))
+            if sa is not None or ssv is not None:
+                sa = np.asarray(
+                    sa if sa is not None else (0.0011, 0.0024, 0.014)
+                )
+                ssv = np.asarray(
+                    ssv if ssv is not None else (2.55, 3.21, 3.77)
+                )
+                st = np.maximum(sa + ssv, 1e-6)
+                spec["albedo"] = tuple(ssv / st)
+                spec["mfp"] = tuple(1.0 / st)
+            else:
+                m_ = _get_vec(p, "mfp")
+                spec["mfp"] = (
+                    tuple(m_) if m_ is not None and len(np.atleast_1d(m_)) == 3
+                    else ((float(m_),) * 3 if m_ is not None else (0.2,) * 3)
                 )
         elif mtype == "diffusetransmission":
             spec["kind"] = MAT_DIFFUSETRANS

@@ -26,6 +26,7 @@ MAT_COATEDDIFFUSE = 4
 MAT_COATEDCONDUCTOR = 5
 MAT_DIFFUSETRANS = 6
 MAT_HAIR = 7
+MAT_SUBSURFACE = 8
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -54,12 +55,15 @@ class MaterialBuffers:
     hair_sigma_scale: jnp.ndarray  # (M,)
     hair_alpha: jnp.ndarray  # (M,) hair cuticle tilt, degrees
     thickness: jnp.ndarray  # (M,) coat layer optical thickness (coated kinds)
+    ss_mfp_coeffs: jnp.ndarray  # (M, 3) subsurface mean-free-path fit
+    ss_mfp_scale: jnp.ndarray  # (M,)
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
     any_coated: bool = static_field(default=False)
     any_diffusetrans: bool = static_field(default=False)
     any_hair: bool = static_field(default=False)
+    any_subsurface: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -71,6 +75,7 @@ class MaterialBuffers:
         c_eta, c_k = [], []
         hair_sig, hair_alpha = [], []
         thicks = []
+        ss_mfp = []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
@@ -88,6 +93,7 @@ class MaterialBuffers:
             hair_sig.append(m.get("hair_sigma_a", (0.5447, 0.9061, 1.781)))
             hair_alpha.append(m.get("hair_alpha", 2.0))
             thicks.append(m.get("thickness", 0.01))
+            ss_mfp.append(m.get("mfp", (1.0, 1.0, 1.0)))
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
@@ -111,6 +117,12 @@ class MaterialBuffers:
             hair_sigma_scale=hss,
             hair_alpha=jnp.asarray(hair_alpha, jnp.float32),
             thickness=jnp.asarray(thicks, jnp.float32),
+            ss_mfp_coeffs=(lambda cs: cs[0])(
+                rgb2spec.fit_unbounded(jnp.asarray(ss_mfp, jnp.float32))
+            ),
+            ss_mfp_scale=rgb2spec.fit_unbounded(
+                jnp.asarray(ss_mfp, jnp.float32)
+            )[1],
             any_conductor=any(
                 k in (MAT_CONDUCTOR, MAT_COATEDCONDUCTOR) for k in kinds
             ),
@@ -121,6 +133,7 @@ class MaterialBuffers:
             ),
             any_diffusetrans=any(k == MAT_DIFFUSETRANS for k in kinds),
             any_hair=any(k == MAT_HAIR for k in kinds),
+            any_subsurface=any(k == MAT_SUBSURFACE for k in kinds),
         )
 
     def gather(self, mat_idx):
@@ -149,6 +162,8 @@ class MaterialBuffers:
                 self.hair_sigma_scale[:, None],
                 self.hair_alpha[:, None],
                 self.thickness[:, None],
+                self.ss_mfp_coeffs,
+                self.ss_mfp_scale[:, None],
             ],
             axis=1,
         )
@@ -169,10 +184,13 @@ class MaterialBuffers:
             "hair_sigma_scale": g[:, 22],
             "hair_alpha": g[:, 23],
             "thickness": g[:, 24],
+            "ss_mfp_coeffs": g[:, 25:28],
+            "ss_mfp_scale": g[:, 28],
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,
             "any_coated": self.any_coated,
             "any_diffusetrans": self.any_diffusetrans,
             "any_hair": self.any_hair,
+            "any_subsurface": self.any_subsurface,
         }

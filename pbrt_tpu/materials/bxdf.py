@@ -410,6 +410,12 @@ def evaluate(params, wo, wi, lam):
     contribution arrives only through sampling.
     """
     kind = params["kind"]
+    if params.get("any_subsurface"):
+        from .buffers import MAT_SUBSURFACE
+
+        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
+        # diffusion transport happens in the integrator (bssrdf.py).
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
     albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
     alpha = sc.roughness_to_alpha(params["roughness"])
 
@@ -468,6 +474,12 @@ def evaluate(params, wo, wi, lam):
 
 def pdf(params, wo, wi):
     kind = params["kind"]
+    if params.get("any_subsurface"):
+        from .buffers import MAT_SUBSURFACE
+
+        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
+        # diffusion transport happens in the integrator (bssrdf.py).
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
     alpha = sc.roughness_to_alpha(params["roughness"])
     p = jnp.where(kind == MAT_DIFFUSE, diffuse_pdf(wo, wi), 0.0)
     if params["any_conductor"]:
@@ -501,6 +513,12 @@ def pdf(params, wo, wi):
 def sample(params, wo, lam, u2, uc):
     """Sample wi for each ray. Returns dict(wi, f, pdf, specular)."""
     kind = params["kind"]
+    if params.get("any_subsurface"):
+        from .buffers import MAT_SUBSURFACE
+
+        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
+        # diffusion transport happens in the integrator (bssrdf.py).
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
     albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
     alpha = sc.roughness_to_alpha(params["roughness"])
 

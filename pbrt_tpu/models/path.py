@@ -142,6 +142,67 @@ class PathIntegrator:
 
             dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
 
+            # --- Subsurface transport (SeparableBSSRDF::Sample_S,
+            # bssrdf.h + wavefront/subsurface.cpp): entry Fresnel, Burley
+            # diffusion to a probed exit vertex, then the Lambertian exit
+            # lobe runs through the regular NEE/BSDF machinery below.
+            if scene.materials.any_subsurface:
+                from ..core import rgb2spec as _r2s
+                from ..materials import scattering as _sc
+                from ..materials.bssrdf import subsurface_exit
+                from ..materials.buffers import MAT_DIFFUSE, MAT_SUBSURFACE
+
+                is_ss = active & (params["kind"] == MAT_SUBSURFACE)
+                alb_ss = _r2s.eval_sigmoid(params["albedo_coeffs"], lam)
+                mfp = _r2s.eval_unbounded(
+                    params["ss_mfp_coeffs"], params["ss_mfp_scale"], lam
+                )
+                u_r = sampler.get_1d(pixel, sample_idx, dim0 + 5)
+                u_phi = sampler.get_1d(pixel, sample_idx, dim0 + 6)
+                p_exit, n_exit, w_ss, _okp = subsurface_exit(
+                    scene, isect, ns, t1, t2, alb_ss, mfp[..., 0],
+                    u_r, u_phi,
+                )
+                fr_in = _sc.fr_dielectric(
+                    jnp.abs(wo_l[..., 2]), params["eta"]
+                )
+                beta = jnp.where(
+                    is_ss[..., None],
+                    beta * w_ss * (1.0 - fr_in)[..., None],
+                    beta,
+                )
+                n_rays = n_rays + jnp.sum(is_ss.astype(jnp.float32))
+                new_n = jnp.where(is_ss[:, None], n_exit, isect.n)
+                isect = isect.replace(
+                    p=jnp.where(is_ss[:, None], p_exit, isect.p),
+                    n=new_n,
+                    wo=jnp.where(is_ss[:, None], new_n, isect.wo),
+                    dpdu=jnp.where(
+                        is_ss[:, None], jnp.zeros_like(isect.dpdu),
+                        isect.dpdu,
+                    ),
+                )
+                ns = isect.n * jnp.sign(
+                    jnp.where(
+                        dot(isect.n, isect.wo, keepdims=True) == 0.0, 1.0,
+                        dot(isect.n, isect.wo, keepdims=True),
+                    )
+                )
+                t1, t2 = shading_frame(ns, isect.dpdu)
+                wo_l = to_local(isect.wo, t1, t2, ns)
+                # Exit lobe: white Lambertian (albedo lives in the profile
+                # weight; the Sw Fresnel shaping is folded into its
+                # normalization — documented approximation).
+                params["kind"] = jnp.where(
+                    is_ss, MAT_DIFFUSE, params["kind"]
+                )
+                white = _r2s.fit_albedo(
+                    jnp.full((1, 3), 0.995, jnp.float32)
+                )
+                params["albedo_coeffs"] = jnp.where(
+                    is_ss[:, None], white, params["albedo_coeffs"]
+                )
+
             # --- Next-event estimation (integrators.cpp SampleLd :727-805).
             if self.use_nee and have_lights:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
