@@ -152,6 +152,24 @@ def _interleave_bits16(x):
     return x
 
 
+_PMJ_CACHE = None
+
+
+def _pmj_tables():
+    """Lazy-loaded pmj02 point tables + blue-noise texture as jnp consts
+    (PMJ02BNSampler assets, samplers.h:609; generated by pmj02.py)."""
+    global _PMJ_CACHE
+    if _PMJ_CACHE is None:
+        from .pmj02 import load_tables
+
+        pts, bn = load_tables()
+        _PMJ_CACHE = (
+            jnp.asarray(pts.reshape(-1, 2)), jnp.asarray(bn),
+            pts.shape[0], pts.shape[1], bn.shape[0],
+        )
+    return _PMJ_CACHE
+
+
 def as_sampler(x, spp: int = 16) -> "Sampler":
     """Coerce a Sampler, or an int/array seed (-> independent), to a Sampler.
 
@@ -164,6 +182,7 @@ def as_sampler(x, spp: int = 16) -> "Sampler":
 
 _KINDS = (
     "independent", "stratified", "sobol", "zsobol", "halton", "padded",
+    "pmj02bn",
 )
 
 
@@ -250,6 +269,34 @@ class Sampler:
 
     # -- public API ----------------------------------------------------------
 
+    def _pmj_sample(self, pixel, sample_idx, dim):
+        """PMJ02BNSampler sample (samplers.h:609): a pmj02 table chosen by
+        dimension, indexed by the pixel's shuffled sample counter, with a
+        blue-noise Cranley-Patterson rotation keyed by screen position so
+        error distributes as blue noise across the image."""
+        pts, bn, n_tables, table_size, bres = _pmj_tables()
+        h, hx, hy, _ = rng.pcg4d(
+            jnp.asarray(dim, jnp.uint32), self.seed, 0x504D4A30, 0
+        )
+        tbl = (h % jnp.uint32(n_tables)).astype(jnp.int32)
+        idx = (
+            self._shuffled_index(pixel, sample_idx, dim)
+            % jnp.uint32(table_size)
+        ).astype(jnp.int32)
+        p = pts[tbl * table_size + idx]  # (N, 2)
+        pix = jnp.asarray(pixel).astype(jnp.int32)
+        if self.nx > 0:
+            px = pix % self.nx
+            py = pix // self.nx
+        else:
+            px = pix % bres
+            py = pix // bres
+        sx = (hx % jnp.uint32(bres)).astype(jnp.int32)
+        sy = (hy % jnp.uint32(bres)).astype(jnp.int32)
+        b0 = bn[(py + sy) % bres, (px + sx) % bres]
+        b1 = bn[(py + sx + 17) % bres, (px + sy + 41) % bres]
+        return (p[..., 0] + b0) % 1.0, (p[..., 1] + b1) % 1.0
+
     def get_1d(self, pixel, sample_idx, dim):
         if self.kind == "independent":
             return rng.uniform_1d(pixel, sample_idx, dim, self.seed)
@@ -291,6 +338,9 @@ class Sampler:
                 jnp.asarray(dim, jnp.uint32), self.seed, 0x6C8E9CF5, 0
             )
             return rng.u32_to_uniform(_fast_owen_scramble(bits, h))
+        if self.kind == "pmj02bn":
+            u0, _ = self._pmj_sample(pixel, sample_idx, dim)
+            return u0
         # padded (round-1 scheme): fresh shuffled dim-0 pair per slot.
         idx = self._shuffled_index(pixel, sample_idx, dim)
         bits = _fast_owen_scramble(_sobol_dim0(idx), self._hash(pixel, dim))
@@ -329,6 +379,8 @@ class Sampler:
                 sobol_bits(idx, d2 + 1), self._hash(pixel, d2 + 1)
             ))
             return u0, u1
+        if self.kind == "pmj02bn":
+            return self._pmj_sample(pixel, sample_idx, dim)
         if self.kind == "zsobol":
             idx = self._zsobol_index(pixel, sample_idx, dim)
             h0, h1, _, _ = rng.pcg4d(

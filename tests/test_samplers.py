@@ -180,3 +180,70 @@ def test_halton_sampler():
     v_i, m_i = _variance_of_pixel_means("independent", f, dim=0)
     assert abs(m_h - m_i) < 0.02
     assert v_h < 0.5 * v_i, (v_h, v_i)
+
+
+def test_pmj02_elementary_intervals():
+    """Every generated pmj02 table is a (0,2)-net: each elementary interval
+    of area 1/n holds exactly one point (lowdiscrepancy gates of the
+    reference's pmj02bn tables)."""
+    from pbrt_tpu.samplers.pmj02 import generate_pmj02_table
+
+    n = 1024
+    for seed in (0, 5):
+        p = generate_pmj02_table(n, seed)
+        assert p.shape == (n, 2)
+        assert (p >= 0).all() and (p < 1).all()
+        k = 10
+        for a in range(k + 1):
+            b = k - a
+            cells = (
+                (p[:, 0] * (1 << a)).astype(int) * (1 << b)
+                + (p[:, 1] * (1 << b)).astype(int)
+            )
+            cnt = np.bincount(cells, minlength=n)
+            assert (cnt == 1).all(), (a, b)
+
+
+def test_bluenoise_texture_is_blue():
+    """The ranking texture is a permutation with suppressed low-frequency
+    energy (void-and-cluster signature)."""
+    from pbrt_tpu.samplers.pmj02 import load_tables
+
+    _, bn = load_tables()
+    res = bn.shape[0]
+    ranks = np.round(bn * res * res - 0.5).astype(int)
+    assert sorted(ranks.ravel().tolist()) == list(range(res * res))
+    # Thresholded mask's spectrum: low-frequency rings weaker than mid.
+    mask = (bn < 0.5).astype(np.float64) - 0.5
+    f = np.abs(np.fft.fftshift(np.fft.fft2(mask)))
+    c = res // 2
+    yy, xx = np.mgrid[0:res, 0:res]
+    rad = np.sqrt((yy - c) ** 2 + (xx - c) ** 2)
+    low = f[(rad > 0.5) & (rad < res * 0.1)].mean()
+    mid = f[(rad > res * 0.25) & (rad < res * 0.45)].mean()
+    assert mid > 1.5 * low, (low, mid)
+
+
+def test_pmj02bn_sampler_kind():
+    """The pmj02bn sampler: valid range, pixel decorrelation, and a
+    variance win over independent sampling on a smooth integrand."""
+    s = Sampler.create("pmj02bn", spp=16, seed=1, nx=64)
+    pix = jnp.zeros((16,), jnp.int32)
+    sidx = jnp.arange(16, dtype=jnp.int32)
+    u0, u1 = s.get_2d(pix, sidx, 3)
+    u0 = np.asarray(u0); u1 = np.asarray(u1)
+    assert (u0 >= 0).all() and (u0 < 1).all()
+    assert (u1 >= 0).all() and (u1 < 1).all()
+    assert len(np.unique(np.round(u0 * 1e6))) > 12  # distinct samples
+    # Smooth-integrand variance: mean of f(u) = u0*u1 over 16 samples,
+    # across many pixels; pmj02bn stratification beats independent.
+    npx = 256
+    pixg = jnp.repeat(jnp.arange(npx, dtype=jnp.int32), 16)
+    sg = jnp.tile(jnp.arange(16, dtype=jnp.int32), (npx,))
+    est = {}
+    for kind in ("pmj02bn", "independent"):
+        sk = Sampler.create(kind, spp=16, seed=2, nx=16)
+        a, b = sk.get_2d(pixg, sg, 5)
+        f = (np.asarray(a) * np.asarray(b)).reshape(npx, 16).mean(1)
+        est[kind] = f.var()
+    assert est["pmj02bn"] < 0.5 * est["independent"], est
