@@ -435,6 +435,29 @@ class PbrtParser:
             t = _get_vec(p, "transmittance")
             if t is not None and len(np.atleast_1d(t)) == 3:
                 spec["transmittance"] = tuple(np.asarray(t, float))
+        elif mtype == "measured":
+            # MeasuredBxDF (bxdfs.h:1155): tabulated reflectance data. The
+            # native format here is an .npy (N_TH, N_TD, N_PD, 3) table
+            # (materials/measured.py; bake_measured converts analytic or
+            # external data into it).
+            from ..materials.buffers import MAT_MEASURED
+
+            fname = _get(p, "filename")
+            tab = None
+            if fname:
+                try:
+                    tab = np.load(os.path.join(self.base_dir, fname))
+                except Exception as e:
+                    self.warnings.append(f"measured '{fname}': {e}")
+            if tab is None:
+                self.warnings.append(
+                    "measured material without loadable table; gray fallback"
+                )
+                from ..materials.measured import N_PD, N_TD, N_TH
+
+                tab = np.full((N_TH, N_TD, N_PD, 3), 0.5 / np.pi, np.float32)
+            spec["kind"] = MAT_MEASURED
+            spec["measured_table"] = tab
         elif mtype == "coateddiffuse":
             spec["kind"] = MAT_COATEDDIFFUSE
             spec["roughness"] = float(_get(p, "roughness", 0.1) or 0.1)

@@ -27,6 +27,7 @@ MAT_COATEDCONDUCTOR = 5
 MAT_DIFFUSETRANS = 6
 MAT_HAIR = 7
 MAT_SUBSURFACE = 8
+MAT_MEASURED = 9
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -36,6 +37,21 @@ CONDUCTOR_PRESETS = {
     "Ag": ((0.1553, 0.1163, 0.1381), (4.8284, 3.1222, 2.1469)),
     "Al": ((1.3450, 0.9650, 0.6170), (7.4746, 6.3995, 5.3031)),
 }
+
+
+def _measured_stack(tables):
+    from .measured import N_PD, N_TD, N_TH, MeasuredBRDF
+
+    if not tables:
+        return dict(
+            measured_coeffs=jnp.zeros((0, N_TH, N_TD, N_PD, 3), jnp.float32),
+            measured_scale=jnp.zeros((0, N_TH, N_TD, N_PD), jnp.float32),
+        )
+    ms = [MeasuredBRDF.from_table(t) for t in tables]
+    return dict(
+        measured_coeffs=jnp.stack([m.coeffs for m in ms]),
+        measured_scale=jnp.stack([m.scale for m in ms]),
+    )
 
 
 @pytree
@@ -57,6 +73,11 @@ class MaterialBuffers:
     thickness: jnp.ndarray  # (M,) coat layer optical thickness (coated kinds)
     ss_mfp_coeffs: jnp.ndarray  # (M, 3) subsurface mean-free-path fit
     ss_mfp_scale: jnp.ndarray  # (M,)
+    measured_idx: jnp.ndarray  # (M,) index into the measured-table stack, -1
+    # Stacked measured-BRDF tables (materials/measured.py): per-cell
+    # unbounded-spectrum fits, (Mm, N_TH, N_TD, N_PD, 3) / (Mm, ...).
+    measured_coeffs: jnp.ndarray
+    measured_scale: jnp.ndarray
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
@@ -64,6 +85,7 @@ class MaterialBuffers:
     any_diffusetrans: bool = static_field(default=False)
     any_hair: bool = static_field(default=False)
     any_subsurface: bool = static_field(default=False)
+    any_measured: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -76,6 +98,7 @@ class MaterialBuffers:
         hair_sig, hair_alpha = [], []
         thicks = []
         ss_mfp = []
+        meas_idx, meas_tables = [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
@@ -94,6 +117,11 @@ class MaterialBuffers:
             hair_alpha.append(m.get("hair_alpha", 2.0))
             thicks.append(m.get("thickness", 0.01))
             ss_mfp.append(m.get("mfp", (1.0, 1.0, 1.0)))
+            if m.get("measured_table") is not None:
+                meas_idx.append(len(meas_tables))
+                meas_tables.append(m["measured_table"])
+            else:
+                meas_idx.append(-1)
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
@@ -134,6 +162,9 @@ class MaterialBuffers:
             any_diffusetrans=any(k == MAT_DIFFUSETRANS for k in kinds),
             any_hair=any(k == MAT_HAIR for k in kinds),
             any_subsurface=any(k == MAT_SUBSURFACE for k in kinds),
+            any_measured=any(k == MAT_MEASURED for k in kinds),
+            measured_idx=jnp.asarray(meas_idx, jnp.int32),
+            **_measured_stack(meas_tables),
         )
 
     def gather(self, mat_idx):
@@ -164,6 +195,7 @@ class MaterialBuffers:
                 self.thickness[:, None],
                 self.ss_mfp_coeffs,
                 self.ss_mfp_scale[:, None],
+                self.measured_idx.astype(f32)[:, None],
             ],
             axis=1,
         )
@@ -186,6 +218,9 @@ class MaterialBuffers:
             "thickness": g[:, 24],
             "ss_mfp_coeffs": g[:, 25:28],
             "ss_mfp_scale": g[:, 28],
+            "measured_idx": jnp.round(g[:, 29]).astype(jnp.int32),
+            "measured_coeffs": self.measured_coeffs,
+            "measured_scale": self.measured_scale,
             "any_conductor": self.any_conductor,
             "any_dielectric": self.any_dielectric,
             "any_thin": self.any_thin,
@@ -193,4 +228,5 @@ class MaterialBuffers:
             "any_diffusetrans": self.any_diffusetrans,
             "any_hair": self.any_hair,
             "any_subsurface": self.any_subsurface,
+            "any_measured": self.any_measured,
         }

@@ -403,6 +403,34 @@ def _gather_spectral_eta_k(params, lam):
     return eta, k
 
 
+def _measured_f(params, wo, wi, lam):
+    """Tabulated measured-BRDF lookup for the per-ray table indices
+    (MeasuredBxDF::f role; see materials/measured.py for the layout)."""
+    from .measured import (
+        N_PD, N_TD, N_TH, _half_diff_angles, trilinear_taps,
+    )
+
+    same = wo[..., 2] * wi[..., 2] > 0.0
+    flip = wo[..., 2:3] < 0.0
+    wo_u = jnp.where(flip, -wo, wo)
+    wi_u = jnp.where(flip, -wi, wi)
+    th, td, pd = _half_diff_angles(wo_u, wi_u)
+    mi = jnp.clip(params["measured_idx"], 0, None)
+    base = mi * (N_TH * N_TD * N_PD)
+    flat_c = params["measured_coeffs"].reshape(-1, 3)
+    flat_s = params["measured_scale"].reshape(-1)
+    val = 0.0
+    for idx, w in trilinear_taps(th, td, pd):
+        val = val + w[..., None] * rgb2spec.eval_unbounded(
+            jnp.take(flat_c, base + idx, axis=0),
+            jnp.take(flat_s, base + idx),
+            lam,
+        )
+    return jnp.where(
+        (same & (params["measured_idx"] >= 0))[..., None], val, 0.0
+    )
+
+
 def evaluate(params, wo, wi, lam):
     """f(wo, wi) for each ray given gathered material params; (N, S).
 
@@ -469,6 +497,11 @@ def evaluate(params, wo, wi, lam):
         sig_a = _hair_sigma_a(params, lam)
         f_h = hair.hair_f(h, eta_h, sig_a, bm, bn, tilt, wo, wi)
         f = jnp.where((kind == MAT_HAIR)[..., None], f_h, f)
+    if params["any_measured"]:
+        f_m = _measured_f(params, wo, wi, lam)
+        from .buffers import MAT_MEASURED
+
+        f = jnp.where((kind == MAT_MEASURED)[..., None], f_m, f)
     return f
 
 
@@ -507,6 +540,10 @@ def pdf(params, wo, wi):
         sig_a = _hair_sigma_a(params, params["lam"])
         p_h = hair.hair_pdf(h, eta_h, sig_a, bm, bn, tilt, wo, wi)
         p = jnp.where(kind == MAT_HAIR, p_h, p)
+    if params["any_measured"]:
+        from .buffers import MAT_MEASURED
+
+        p = jnp.where(kind == MAT_MEASURED, diffuse_pdf(wo, wi), p)
     return p
 
 
@@ -606,6 +643,17 @@ def sample(params, wo, lam, u2, uc):
             f = jnp.where(m[..., None], f_cc, f)
             p = jnp.where(m, p_cc, p)
             specular = jnp.where(m, False, specular)
+
+    if params["any_measured"]:
+        from .buffers import MAT_MEASURED
+
+        wi_m, _, p_m = diffuse_sample(albedo, wo, u2)
+        f_m = _measured_f(params, wo, wi_m, lam)
+        m = kind == MAT_MEASURED
+        wi = jnp.where(m[..., None], wi_m, wi)
+        f = jnp.where(m[..., None], f_m, f)
+        p = jnp.where(m, p_m, p)
+        specular = jnp.where(m, False, specular)
 
     if params["any_hair"]:
         h, eta_h, bm, bn, tilt = _hair_args(params)
