@@ -435,6 +435,27 @@ class PbrtParser:
             t = _get_vec(p, "transmittance")
             if t is not None and len(np.atleast_1d(t)) == 3:
                 spec["transmittance"] = tuple(np.asarray(t, float))
+        elif mtype == "mix":
+            # MixMaterial (materials.h): "string materials" names two
+            # previously defined named materials; amount = P(first).
+            from ..materials.buffers import MAT_MIX
+
+            names = _get(p, "materials")
+            pair = (
+                [names] if isinstance(names, str) else list(names or [])
+            )
+            if len(pair) == 2 and all(
+                nm in self.named_materials for nm in pair
+            ):
+                spec["kind"] = MAT_MIX
+                spec["mix_m0"] = self.named_materials[pair[0]]
+                spec["mix_m1"] = self.named_materials[pair[1]]
+                spec["mix_amount"] = float(_get(p, "amount", 0.5))
+            else:
+                self.warnings.append(
+                    "mix material needs two defined named materials; "
+                    "diffuse fallback"
+                )
         elif mtype == "measured":
             # MeasuredBxDF (bxdfs.h:1155): tabulated reflectance data. The
             # native format here is an .npy (N_TH, N_TD, N_PD, 3) table

@@ -28,6 +28,7 @@ MAT_DIFFUSETRANS = 6
 MAT_HAIR = 7
 MAT_SUBSURFACE = 8
 MAT_MEASURED = 9
+MAT_MIX = 10
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -74,6 +75,9 @@ class MaterialBuffers:
     ss_mfp_coeffs: jnp.ndarray  # (M, 3) subsurface mean-free-path fit
     ss_mfp_scale: jnp.ndarray  # (M,)
     measured_idx: jnp.ndarray  # (M,) index into the measured-table stack, -1
+    mix_m0: jnp.ndarray  # (M,) first sub-material id (mix kinds)
+    mix_m1: jnp.ndarray  # (M,) second sub-material id
+    mix_amount: jnp.ndarray  # (M,) probability of picking m0
     # Stacked measured-BRDF tables (materials/measured.py): per-cell
     # unbounded-spectrum fits, (Mm, N_TH, N_TD, N_PD, 3) / (Mm, ...).
     measured_coeffs: jnp.ndarray
@@ -86,6 +90,7 @@ class MaterialBuffers:
     any_hair: bool = static_field(default=False)
     any_subsurface: bool = static_field(default=False)
     any_measured: bool = static_field(default=False)
+    any_mix: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -99,6 +104,7 @@ class MaterialBuffers:
         thicks = []
         ss_mfp = []
         meas_idx, meas_tables = [], []
+        mix_m0, mix_m1, mix_amount = [], [], []
         for m in materials:
             kinds.append(m.get("kind", MAT_DIFFUSE))
             albedos.append(m.get("albedo", (0.5, 0.5, 0.5)))
@@ -122,6 +128,9 @@ class MaterialBuffers:
                 meas_tables.append(m["measured_table"])
             else:
                 meas_idx.append(-1)
+            mix_m0.append(m.get("mix_m0", 0))
+            mix_m1.append(m.get("mix_m1", 0))
+            mix_amount.append(m.get("mix_amount", 0.5))
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
@@ -163,7 +172,11 @@ class MaterialBuffers:
             any_hair=any(k == MAT_HAIR for k in kinds),
             any_subsurface=any(k == MAT_SUBSURFACE for k in kinds),
             any_measured=any(k == MAT_MEASURED for k in kinds),
+            any_mix=any(k == MAT_MIX for k in kinds),
             measured_idx=jnp.asarray(meas_idx, jnp.int32),
+            mix_m0=jnp.asarray(mix_m0, jnp.int32),
+            mix_m1=jnp.asarray(mix_m1, jnp.int32),
+            mix_amount=jnp.asarray(mix_amount, jnp.float32),
             **_measured_stack(meas_tables),
         )
 

@@ -14,6 +14,7 @@ queue partitioning is the planned optimization for wider material sets.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import rgb2spec
@@ -363,7 +364,32 @@ def surface_params(scene, isect, lam=None):
     reference hair.h: h = -1 + 2 * intr.uv[1]; the hero wavelengths, which
     hair's sampling PDF depends on through sigma_a).
     """
-    params = scene.materials.gather(isect.mat)
+    mat_idx = isect.mat
+    if scene.materials.any_mix:
+        # MixMaterial (materials.h): stochastically resolve to one of the
+        # two sub-materials BEFORE parameter gathering. The choice is a
+        # hash of the hit position and outgoing direction — deterministic
+        # per (point, direction) for replay, varying across samples via wo
+        # (the reference draws from the sampler; documented divergence).
+        from ..core import rng as _rng
+        from .buffers import MAT_MIX
+
+        mb = scene.materials
+        kind0 = jnp.take(mb.kind, jnp.clip(mat_idx, 0, mb.kind.shape[0] - 1))
+        bits_p = jax.lax.bitcast_convert_type(isect.p, jnp.uint32)
+        bits_w = jax.lax.bitcast_convert_type(isect.wo, jnp.uint32)
+        h, _, _, _ = _rng.pcg4d(
+            bits_p[..., 0] ^ bits_p[..., 2], bits_w[..., 0],
+            bits_w[..., 1] ^ bits_p[..., 1], jnp.uint32(0x4D495843),
+        )
+        u = _rng.u32_to_uniform(h)
+        amt = jnp.take(mb.mix_amount, jnp.clip(mat_idx, 0, None))
+        m0 = jnp.take(mb.mix_m0, jnp.clip(mat_idx, 0, None))
+        m1 = jnp.take(mb.mix_m1, jnp.clip(mat_idx, 0, None))
+        mat_idx = jnp.where(
+            kind0 == MAT_MIX, jnp.where(u < amt, m0, m1), mat_idx
+        )
+    params = scene.materials.gather(mat_idx)
     if lam is not None:
         params["lam"] = lam
     if scene.textures is not None:

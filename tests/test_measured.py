@@ -95,3 +95,89 @@ Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
     # Same material family baked both ways: means within 35% (different
     # eta/k RGB projections + table quantization).
     assert abs(mm - ma) < 0.35 * max(mm, ma), (mm, ma)
+
+
+def test_mix_material(tmp_path):
+    """MixMaterial: stochastic blend of two named materials — the rendered
+    mean sits between the two constituents, ordered by amount."""
+    from pbrt_tpu.io.parser import load_pbrt
+    from pbrt_tpu.render import render
+
+    base = """
+Integrator "path" "integer maxdepth" [2]
+Film "rgb" "integer xresolution" [12] "integer yresolution" [12]
+WorldBegin
+AreaLightSource "diffuse" "rgb L" [4 4 4]
+Shape "trianglemesh" "integer indices" [0 1 2]
+    "point3 P" [-2 2 4  2 2 4  0 2 8]
+MakeNamedMaterial "bright" "string type" "diffuse"
+    "rgb reflectance" [0.9 0.9 0.9]
+MakeNamedMaterial "dark" "string type" "diffuse"
+    "rgb reflectance" [0.05 0.05 0.05]
+Material "mix" "string materials" ["bright" "dark"] "float amount" [{A}]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point3 P" [-6 -1 1  6 -1 1  6 -1 12  -6 -1 12]
+"""
+    means = {}
+    for a in (0.1, 0.9):
+        f = tmp_path / f"mix{a}.pbrt"
+        f.write_text(base.replace("{A}", str(a)))
+        scene, camera, settings = load_pbrt(str(f))
+        img = np.asarray(render(
+            scene, camera, settings["integrator"], spp=16, samples_per_pass=4
+        ))
+        assert np.isfinite(img).all()
+        means[a] = img.mean()
+    # amount = P(first = bright): 0.9 must render clearly brighter.
+    assert means[0.9] > means[0.1] * 1.3, means
+
+
+def test_mix_resolution_fraction():
+    """surface_params resolves MAT_MIX to sub-material m0 with probability
+    `amount` (the MixMaterial ChooseMaterial draw)."""
+    from pbrt_tpu.accel import api as accel_api
+    from pbrt_tpu.lights.buffers import LightBuffers
+    from pbrt_tpu.materials import bxdf
+    from pbrt_tpu.materials.buffers import MAT_MIX, MaterialBuffers
+    from pbrt_tpu.scene import Scene
+    from pbrt_tpu.shapes.geometry import GeometryBuffers
+
+    tri = np.asarray([[[-50, 0, -50], [50, 0, -50], [0, 0, 80]]], np.float32)
+    mats = [
+        {"kind": 0, "albedo": (0.9, 0.1, 0.1)},
+        {"kind": 0, "albedo": (0.1, 0.1, 0.9)},
+        {"kind": MAT_MIX, "mix_m0": 0, "mix_m1": 1, "mix_amount": 0.3},
+    ]
+    scene = Scene(
+        geom=GeometryBuffers.build(
+            tri_verts=tri, tri_mat=np.asarray([2], np.int32),
+            tri_light=np.asarray([-1], np.int32),
+        ),
+        materials=MaterialBuffers.build(mats),
+        lights=LightBuffers.build(),
+    )
+    n = 8192
+    rng = np.random.default_rng(0)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-20, 20, n)
+    o[:, 2] = rng.uniform(-20, 20, n)
+    o[:, 1] = 5.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1]) - 0.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    isect = accel_api.closest(scene, jnp.asarray(o), jnp.asarray(d))
+    from pbrt_tpu.core import spectrum as spec
+
+    wl = spec.sample_visible(jnp.full((n,), 0.5))
+    params = bxdf.surface_params(scene, isect, wl.lam)
+    hit = np.asarray(isect.valid)
+    from pbrt_tpu.core import rgb2spec
+
+    # m0 fraction via spectral classification: the red sub-material is
+    # brighter at 640 nm than 460 nm; the blue one is the reverse.
+    lam_red = jnp.full((n, 1), 640.0)
+    lam_blue = jnp.full((n, 1), 460.0)
+    a_r = np.asarray(rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam_red))[:, 0]
+    a_b = np.asarray(rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam_blue))[:, 0]
+    frac_m0 = (a_r > a_b)[hit].mean()
+    assert abs(frac_m0 - 0.3) < 0.03, frac_m0
