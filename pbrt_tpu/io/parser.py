@@ -1023,6 +1023,21 @@ class PbrtParser:
                         tris.append([a, c, dq])
             world = self._pts(np.asarray(tris, np.float32).reshape(-1, 3))
             tris = world.reshape(-1, 3, 3)
+        elif stype == "loopsubdiv":
+            # LoopSubdiv shape (shapes.cpp): refine then emit triangles.
+            from ..shapes.subdiv import loop_subdivide
+
+            pts = _get_vec(p, "P").reshape(-1, 3)
+            idx = _get_vec(p, "indices")
+            if idx is None:
+                self.warnings.append("loopsubdiv needs indices; skipped")
+                return
+            levels = int(_get(p, "levels", _get(p, "nlevels", 3)))
+            vv, ff = loop_subdivide(
+                pts, np.asarray(idx, np.int64).reshape(-1, 3), levels
+            )
+            world = self._pts(vv.astype(np.float64))
+            tris = world[ff]
         elif stype == "curve":
             # Reference: shapes.cpp CreateCurve — cubic bezier/bspline
             # control points, width/width0/width1 as FULL widths, types
