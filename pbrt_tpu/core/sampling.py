@@ -425,3 +425,48 @@ class WindowedPiecewiseConstant2D:
         return jnp.where(
             inside & (bint > 0.0), f / jnp.maximum(bint, 1e-38), 0.0
         )
+
+
+@pytree
+class WeightedReservoirSampler:
+    """Streaming weighted reservoir over batched lanes.
+
+    Reference analogue: WeightedReservoirSampler (util/sampling.h:82):
+    feed candidates one at a time; each lane keeps one survivor with
+    probability proportional to its weight. State is a pytree so reservoirs
+    ride inside lax.scan carries; merging two reservoirs is `merge` (the
+    RIS/ReSTIR building block).
+    """
+
+    value: jnp.ndarray  # (..., K) payload of the current survivor
+    weight_sum: jnp.ndarray  # (...,) total seen weight
+    survivor_w: jnp.ndarray  # (...,) the survivor's own weight
+
+    @staticmethod
+    def empty(shape, k):
+        return WeightedReservoirSampler(
+            value=jnp.zeros(shape + (k,), jnp.float32),
+            weight_sum=jnp.zeros(shape, jnp.float32),
+            survivor_w=jnp.zeros(shape, jnp.float32),
+        )
+
+    def add(self, value, weight, u):
+        """Consider one candidate per lane; u: fresh uniforms."""
+        new_sum = self.weight_sum + jnp.maximum(weight, 0.0)
+        take = u * new_sum < weight
+        return WeightedReservoirSampler(
+            value=jnp.where(take[..., None], value, self.value),
+            weight_sum=new_sum,
+            survivor_w=jnp.where(take, weight, self.survivor_w),
+        )
+
+    def merge(self, other, u):
+        """Combine two reservoirs (treat `other`'s survivor as one
+        candidate carrying its whole weight sum)."""
+        new_sum = self.weight_sum + other.weight_sum
+        take = u * new_sum < other.weight_sum
+        return WeightedReservoirSampler(
+            value=jnp.where(take[..., None], other.value, self.value),
+            weight_sum=new_sum,
+            survivor_w=jnp.where(take, other.survivor_w, self.survivor_w),
+        )

@@ -138,3 +138,42 @@ def test_variance_estimator():
         est = est.add(jnp.asarray(x))
     np.testing.assert_allclose(float(est.mean), 2.5)
     np.testing.assert_allclose(float(est.variance()), np.var(xs, ddof=1))
+
+
+def test_weighted_reservoir_sampler():
+    """Streaming selection frequencies converge to weight proportions, and
+    merged reservoirs match single-stream statistics (sampling.h:82)."""
+    from pbrt_tpu.core import rng as _rng
+    from pbrt_tpu.core.sampling import WeightedReservoirSampler
+
+    n = 20000
+    weights = np.asarray([1.0, 3.0, 0.5, 5.5])
+    res = WeightedReservoirSampler.empty((n,), 1)
+    lanes = jnp.arange(n, dtype=jnp.int32)
+    for i, w in enumerate(weights):
+        u = _rng.uniform_1d(lanes, i, 7, 11)
+        res = res.add(
+            jnp.full((n, 1), float(i)), jnp.full((n,), float(w)), u
+        )
+    np.testing.assert_allclose(
+        float(res.weight_sum[0]), weights.sum(), rtol=1e-6
+    )
+    picks = np.asarray(res.value[:, 0]).astype(int)
+    freq = np.bincount(picks, minlength=4) / n
+    np.testing.assert_allclose(freq, weights / weights.sum(), atol=0.02)
+    # Merge: two half-streams == one full stream in distribution.
+    r1 = WeightedReservoirSampler.empty((n,), 1)
+    r2 = WeightedReservoirSampler.empty((n,), 1)
+    for i, w in enumerate(weights):
+        u = _rng.uniform_1d(lanes, i, 13, 17)
+        tgt = r1 if i < 2 else r2
+        upd = tgt.add(jnp.full((n, 1), float(i)), jnp.full((n,), float(w)), u)
+        if i < 2:
+            r1 = upd
+        else:
+            r2 = upd
+    merged = r1.merge(r2, _rng.uniform_1d(lanes, 9, 23, 29))
+    freq_m = np.bincount(
+        np.asarray(merged.value[:, 0]).astype(int), minlength=4
+    ) / n
+    np.testing.assert_allclose(freq_m, weights / weights.sum(), atol=0.02)
