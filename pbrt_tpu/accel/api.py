@@ -40,12 +40,57 @@ def _sphere_best(geom, o, d, tmax):
     )
 
 
+def _merge_disk_cyl(geom, o, d, isect: Interaction) -> Interaction:
+    """Fold analytic disk/cylinder hits into a base Interaction (the same
+    closest-wins merge the sphere/curve families use)."""
+    if geom.num_disks == 0 and geom.num_cyls == 0:
+        return isect
+    t_cur = jnp.where(isect.valid, isect.t, _INF)
+    base = geom.num_triangles + geom.num_spheres + geom.num_curves
+    upd = isect
+    for kind_disk, best in (
+        (True, dense.disk_best), (False, dense.cyl_best),
+    ):
+        n_fam = geom.num_disks if kind_disk else geom.num_cyls
+        if n_fam == 0:
+            continue
+        t_f, i_f, u_f, v_f = best(geom, o, d, t_cur)
+        better = t_f < t_cur
+        ng = dense.disk_cyl_normals(
+            geom, o, d, t_f, jnp.full(t_f.shape, kind_disk, bool), i_f
+        )
+        mats = geom.disk_mat if kind_disk else geom.cyl_mat
+        safe = jnp.clip(jnp.maximum(i_f, 0), 0, n_fam - 1)
+        mat_f = gather_rows(mats, safe)
+        p_new = o + t_f[:, None] * d
+        upd = Interaction(
+            valid=upd.valid | better,
+            p=jnp.where(better[:, None], p_new, upd.p),
+            n=jnp.where(better[:, None], ng, upd.n),
+            t=jnp.where(better, t_f, upd.t),
+            uv=jnp.where(
+                better[:, None], jnp.stack([u_f, v_f], -1), upd.uv
+            ),
+            wo=upd.wo,
+            mat=jnp.where(better, mat_f, upd.mat),
+            light=jnp.where(better, -1, upd.light),
+            prim=jnp.where(better, base + i_f, upd.prim),
+            dpdu=jnp.where(better[:, None], jnp.zeros_like(upd.dpdu),
+                           upd.dpdu),
+        )
+        t_cur = jnp.where(upd.valid, upd.t, _INF)
+        base = base + n_fam
+    return upd
+
+
 def closest(scene, o, d, tmax=None) -> Interaction:
     geom = scene.geom
     small = getattr(scene, "small", None)
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
             and small is None:
-        return dense.intersect_closest(geom, o, d, tmax)
+        return _merge_disk_cyl(
+            geom, o, d, dense.intersect_closest(geom, o, d, tmax)
+        )
 
     n_rays = o.shape[0]
     if tmax is None:
@@ -127,7 +172,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
 
     valid = prim >= 0
     p = jnp.where(valid[:, None], o + t[:, None] * d, 0.0)
-    return Interaction(
+    return _merge_disk_cyl(geom, o, d, Interaction(
         valid=valid,
         t=t,
         p=p,
@@ -138,7 +183,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         light=jnp.where(valid, light, -1),
         prim=prim,
         dpdu=dpdu,
-    )
+    ))
 
 
 def any_hit(scene, o, d, tmax) -> jnp.ndarray:
@@ -146,7 +191,14 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     small = getattr(scene, "small", None)
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
             and small is None:
-        return dense.intersect_any(geom, o, d, tmax)
+        occ = dense.intersect_any(geom, o, d, tmax)
+        if geom.num_disks > 0:
+            _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
+            occ = occ | (i_d >= 0)
+        if geom.num_cyls > 0:
+            _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
+            occ = occ | (i_c >= 0)
+        return occ
     if small is not None and jax.default_backend() != "cpu":
         from ..ops.smallscene import smallscene_intersect
 
@@ -175,4 +227,10 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     if geom.num_curves > 0:
         t_c, c_idx, _, _ = dense.curve_best(geom, o, d, tmax)
         occ = occ | (c_idx >= 0)
+    if geom.num_disks > 0:
+        _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
+        occ = occ | (i_d >= 0)
+    if geom.num_cyls > 0:
+        _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
+        occ = occ | (i_c >= 0)
     return occ

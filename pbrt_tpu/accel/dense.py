@@ -441,3 +441,131 @@ def offset_ray_origin(p, n, d):
     eps = 1e-4 * scale
     sign = jnp.where(dot(n, d, keepdims=True) >= 0.0, 1.0, -1.0)
     return p + sign * eps * n
+
+
+# --- Analytic disk / cylinder quadrics (Disk/Cylinder, shapes.h) ------------
+
+
+def disk_best(geom: GeometryBuffers, o, d, tmax):
+    """Best analytic-disk hit: (t, idx, u, v); idx -1 on miss.
+
+    Disk row: [center(3) normal(3) radius inner]; uv = (phi/2pi, radial).
+    Reference: Disk::Intersect (shapes.h plane solve + radius window).
+    """
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), INF, o.dtype)
+    dk = geom.disk
+    nd = geom.num_disks
+    c = dk[None, :, 0:3]
+    nrm = dk[None, :, 3:6]
+    r = dk[None, :, 6]
+    ri = dk[None, :, 7]
+    denom = jnp.sum(d[:, None, :] * nrm, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    t = jnp.sum((c - o[:, None, :]) * nrm, axis=-1) / denom
+    p = o[:, None, :] + t[..., None] * d[:, None, :]
+    rel = p - c
+    dist2 = jnp.sum(rel * rel, axis=-1)
+    hit = (
+        (t > 1e-5) & (t < tmax[:, None])
+        & (dist2 <= r * r) & (dist2 >= ri * ri)
+    )
+    tm = jnp.where(hit, t, INF)
+    idx = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    tb = jnp.min(tm, axis=1)
+    sel = jnp.take_along_axis
+    pick = lambda a: sel(a, idx[:, None], axis=1)[:, 0]
+    phi = jnp.arctan2(
+        pick(rel[..., 1]), pick(rel[..., 0])
+    ) / (2.0 * jnp.pi) + 0.5
+    rad = jnp.sqrt(jnp.maximum(pick(dist2), 0.0)) / jnp.maximum(
+        pick(jnp.broadcast_to(r, dist2.shape)), 1e-9
+    )
+    ok = jnp.isfinite(tb) & (nd > 0)
+    return (
+        jnp.where(ok, tb, INF),
+        jnp.where(ok, idx, -1),
+        jnp.where(ok, phi, 0.0),
+        jnp.where(ok, rad, 0.0),
+    )
+
+
+def cyl_best(geom: GeometryBuffers, o, d, tmax):
+    """Best analytic-cylinder hit (open tube): (t, idx, u, v).
+
+    Cylinder row: [base_point(3) axis(3) radius half_len]; the tube spans
+    axial coordinate [-half_len, +half_len] about base_point.
+    Reference: Cylinder::Intersect quadratic (shapes.h).
+    """
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), INF, o.dtype)
+    cy = geom.cyl
+    nc = geom.num_cyls
+    pa = cy[None, :, 0:3]
+    ax = cy[None, :, 3:6]
+    r = cy[None, :, 6]
+    h = cy[None, :, 7]
+    rel = o[:, None, :] - pa
+    d_ax = jnp.sum(d[:, None, :] * ax, axis=-1)
+    rel_ax = jnp.sum(rel * ax, axis=-1)
+    d_perp = d[:, None, :] - d_ax[..., None] * ax
+    rel_perp = rel - rel_ax[..., None] * ax
+    a = jnp.sum(d_perp * d_perp, axis=-1)
+    b = 2.0 * jnp.sum(d_perp * rel_perp, axis=-1)
+    cq = jnp.sum(rel_perp * rel_perp, axis=-1) - r * r
+    disc = b * b - 4.0 * a * cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t0 = (-b - sq) / (2.0 * a_safe)
+    t1 = (-b + sq) / (2.0 * a_safe)
+
+    def axial_ok(t):
+        z = rel_ax + t * d_ax
+        return (jnp.abs(z) <= h) & (t > 1e-5) & (t < tmax[:, None])
+
+    ok0 = (disc > 0.0) & axial_ok(t0)
+    ok1 = (disc > 0.0) & axial_ok(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
+    tm = jnp.where(jnp.isfinite(t), t, INF)
+    idx = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    tb = jnp.min(tm, axis=1)
+    pick = lambda arr: jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    z = pick(rel_ax) + tb * pick(d_ax)
+    v = jnp.clip((z / jnp.maximum(pick(jnp.broadcast_to(h, rel_ax.shape)),
+                                  1e-9) + 1.0) * 0.5, 0.0, 1.0)
+    ok = jnp.isfinite(tb) & (nc > 0)
+    return (
+        jnp.where(ok, tb, INF),
+        jnp.where(ok, idx, -1),
+        jnp.where(ok, v, 0.0),  # u along the axis
+        jnp.zeros_like(tb),
+    )
+
+
+def disk_cyl_normals(geom, o, d, t, kind_disk, idx):
+    """Geometric normals for merged disk/cylinder hits."""
+    from ..core.gather import gather_rows
+
+    nd = max(geom.num_disks, 1)
+    ncy = max(geom.num_cyls, 1)
+    safe_d = jnp.clip(idx, 0, nd - 1)
+    safe_c = jnp.clip(idx, 0, ncy - 1)
+    p = o + t[:, None] * d
+    if geom.num_disks > 0:
+        n_disk = gather_rows(geom.disk, safe_d)[:, 3:6]
+    else:
+        n_disk = jnp.zeros_like(o)
+    if geom.num_cyls > 0:
+        row = gather_rows(geom.cyl, safe_c)
+        pa, ax = row[:, 0:3], row[:, 3:6]
+        rel = p - pa
+        z = jnp.sum(rel * ax, axis=-1, keepdims=True)
+        n_cyl = rel - z * ax
+        n_cyl = n_cyl / jnp.maximum(
+            jnp.linalg.norm(n_cyl, axis=-1, keepdims=True), 1e-9
+        )
+    else:
+        n_cyl = jnp.zeros_like(o)
+    return jnp.where(kind_disk[:, None], n_disk, n_cyl)

@@ -186,6 +186,8 @@ class PbrtParser:
         self.spheres = []
         self.sph_mat = []
         self.curves = []
+        self.disks = []
+        self.cyls = []
         self.tex_specs = []
         self.named_tex = {}
         self.named_media = {}
@@ -901,6 +903,26 @@ class PbrtParser:
 
     # -- shapes --------------------------------------------------------------
 
+    def _tessellate_disk(self, p):
+        r = float(_get(p, "radius", 1.0))
+        ri = float(_get(p, "innerradius", 0.0))
+        h = float(_get(p, "height", 0.0))
+        seg = 64
+        ang = np.linspace(0, 2 * np.pi, seg + 1)
+        outer = np.stack(
+            [r * np.cos(ang), r * np.sin(ang), np.full(seg + 1, h)], -1
+        )
+        inner = np.stack(
+            [ri * np.cos(ang), ri * np.sin(ang), np.full(seg + 1, h)], -1
+        )
+        tris = []
+        for i in range(seg):
+            tris.append([inner[i], outer[i], outer[i + 1]])
+            if ri > 0:
+                tris.append([inner[i], outer[i + 1], inner[i + 1]])
+        local = np.asarray(tris, np.float32).reshape(-1, 3)
+        return self._pts(local).reshape(-1, 3, 3)
+
     def _emit_triangles(self, tris_world):
         n = len(tris_world)
         if n == 0:
@@ -956,27 +978,52 @@ class PbrtParser:
             self.spheres.append([*center, r * sc])
             self.sph_mat.append(self.cur_material)
             return
-        elif stype == "disk":
-            # Tessellated analytic disk (z-plane, radius/innerradius/height).
+        elif stype == "disk" and self.cur_area_light is None:
+            # Analytic disk (Disk::Intersect, shapes.h): plane solve +
+            # radius window. CTM must be rigid+uniform-scale for the
+            # radius (general scales fall back to tessellation below).
             r = float(_get(p, "radius", 1.0))
             ri = float(_get(p, "innerradius", 0.0))
             h = float(_get(p, "height", 0.0))
-            seg = 64
-            ang = np.linspace(0, 2 * np.pi, seg + 1)
-            outer = np.stack(
-                [r * np.cos(ang), r * np.sin(ang), np.full(seg + 1, h)], -1
+            c_w = self._pts(np.asarray([[0.0, 0.0, h]]))[0]
+            e1 = self._pts(np.asarray([[1.0, 0.0, h]]))[0] - c_w
+            e2 = self._pts(np.asarray([[0.0, 1.0, h]]))[0] - c_w
+            s1, s2 = np.linalg.norm(e1), np.linalg.norm(e2)
+            if abs(s1 - s2) < 1e-5 * max(s1, s2):
+                n_w = np.cross(e1, e2)
+                n_w /= max(np.linalg.norm(n_w), 1e-12)
+                self.disks.append(
+                    (tuple(c_w) + tuple(n_w) + (r * s1, ri * s1),
+                     self.cur_material)
+                )
+                return
+            self.warnings.append(
+                "disk under anisotropic scale: tessellated"
             )
-            inner = np.stack(
-                [ri * np.cos(ang), ri * np.sin(ang), np.full(seg + 1, h)], -1
-            )
-            tris = []
-            for i in range(seg):
-                tris.append([inner[i], outer[i], outer[i + 1]])
-                if ri > 0:
-                    tris.append([inner[i], outer[i + 1], inner[i + 1]])
-            local = np.asarray(tris, np.float32).reshape(-1, 3)
-            world = self._pts(local).reshape(-1, 3, 3)
-            tris = world
+            tris = self._tessellate_disk(p)
+        elif stype == "disk":
+            tris = self._tessellate_disk(p)
+        elif stype == "cylinder" and self.cur_area_light is None:
+            # Analytic open cylinder (Cylinder::Intersect, shapes.h).
+            r = float(_get(p, "radius", 1.0))
+            z0 = float(_get(p, "zmin", -1.0))
+            z1 = float(_get(p, "zmax", 1.0))
+            zc = 0.5 * (z0 + z1)
+            base_w = self._pts(np.asarray([[0.0, 0.0, zc]]))[0]
+            top_w = self._pts(np.asarray([[0.0, 0.0, z1]]))[0]
+            rad_w = self._pts(np.asarray([[1.0, 0.0, zc]]))[0] - base_w
+            axis = top_w - base_w
+            half = np.linalg.norm(axis)
+            s_r = np.linalg.norm(rad_w)
+            if half > 1e-12:
+                axis /= half
+                self.cyls.append(
+                    (tuple(base_w) + tuple(axis) + (r * s_r, half),
+                     self.cur_material)
+                )
+                return
+            self.warnings.append("degenerate cylinder; skipped")
+            return
         elif stype == "cylinder":
             r = float(_get(p, "radius", 1.0))
             z0 = float(_get(p, "zmin", -1.0))
@@ -1113,6 +1160,14 @@ class PbrtParser:
                 if self.curves
                 else {}
             ),
+            disk=np.asarray([d for d, _ in self.disks], np.float32)
+            if self.disks else None,
+            disk_mat=np.asarray([m for _, m in self.disks], np.int32)
+            if self.disks else None,
+            cyl=np.asarray([c for c, _ in self.cyls], np.float32)
+            if self.cyls else None,
+            cyl_mat=np.asarray([m for _, m in self.cyls], np.int32)
+            if self.cyls else None,
         )
         materials = MaterialBuffers.build(self.materials)
         lights = LightBuffers.build(

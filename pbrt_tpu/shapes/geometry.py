@@ -29,6 +29,10 @@ class GeometryBuffers:
     crv:        (C, 8)    float32 curve segments [p0 p1 r0 r1] (shapes/curve.py)
     crv_u:      (C, 2)    float32 per-segment curve-parameter span [u0 u1]
     crv_mat:    (C,)      int32
+    disk:       (D, 8)    float32 [center(3) normal(3) radius inner_radius]
+    disk_mat:   (D,)      int32
+    cyl:        (Cy, 8)   float32 [base_point(3) axis(3) radius half_len]
+    cyl_mat:    (Cy,)     int32
     """
 
     tri_verts: jnp.ndarray
@@ -40,11 +44,16 @@ class GeometryBuffers:
     crv: jnp.ndarray
     crv_u: jnp.ndarray
     crv_mat: jnp.ndarray
+    disk: jnp.ndarray
+    disk_mat: jnp.ndarray
+    cyl: jnp.ndarray
+    cyl_mat: jnp.ndarray
 
     @staticmethod
     def build(
         tri_verts=None, tri_mat=None, tri_light=None, spheres=None,
         sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
+        disk=None, disk_mat=None, cyl=None, cyl_mat=None,
     ) -> "GeometryBuffers":
         def _arr(x, shape, dtype):
             if x is None:
@@ -72,6 +81,13 @@ class GeometryBuffers:
             crv=_arr(crv, (c, 8), jnp.float32),
             crv_u=_arr(crv_u, (c, 2), jnp.float32),
             crv_mat=_arr(crv_mat, (c,), jnp.int32),
+            disk=_arr(disk, (0 if disk is None else len(disk), 8),
+                      jnp.float32),
+            disk_mat=_arr(disk_mat, (0 if disk is None else len(disk),),
+                          jnp.int32),
+            cyl=_arr(cyl, (0 if cyl is None else len(cyl), 8), jnp.float32),
+            cyl_mat=_arr(cyl_mat, (0 if cyl is None else len(cyl),),
+                         jnp.int32),
         )
 
     @property
@@ -85,6 +101,14 @@ class GeometryBuffers:
     @property
     def num_curves(self) -> int:
         return self.crv.shape[0]
+
+    @property
+    def num_disks(self) -> int:
+        return self.disk.shape[0]
+
+    @property
+    def num_cyls(self) -> int:
+        return self.cyl.shape[0]
 
 
 @pytree

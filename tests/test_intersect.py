@@ -124,3 +124,96 @@ def test_smallscene_kernel_matches_dense():
     occ = smallscene_intersect(acc, o, d, tmax, any_hit=True,
                                interpret=True)["prim"] >= 0
     np.testing.assert_array_equal(np.asarray(occ), hit_d)
+
+
+def test_analytic_disk_and_cylinder():
+    """Analytic quadrics (Disk/Cylinder::Intersect): exact t, normals, uv
+    windows, and merge ordering against triangles."""
+    import numpy as np
+
+    from pbrt_tpu.accel import api as accel_api
+    from pbrt_tpu.lights.buffers import LightBuffers
+    from pbrt_tpu.materials.buffers import MaterialBuffers
+    from pbrt_tpu.scene import Scene
+    from pbrt_tpu.shapes.geometry import GeometryBuffers
+
+    # Disk at z=3, normal -z, radius 1, inner 0.3; cylinder along +y at
+    # x=0,z=6 radius 0.5 half-length 1; backing triangle at z=9.
+    geom = GeometryBuffers.build(
+        tri_verts=np.asarray(
+            [[[-9, -9, 9], [9, -9, 9], [0, 9, 9]]], np.float32
+        ),
+        tri_mat=np.asarray([3], np.int32),
+        tri_light=np.asarray([-1], np.int32),
+        disk=np.asarray([[0, 0, 3, 0, 0, -1, 1.0, 0.3]], np.float32),
+        disk_mat=np.asarray([1], np.int32),
+        cyl=np.asarray([[0, 0, 6, 0, 1, 0, 0.5, 1.0]], np.float32),
+        cyl_mat=np.asarray([2], np.int32),
+    )
+    scene = Scene(
+        geom=geom,
+        materials=MaterialBuffers.build(
+            [{"kind": 0, "albedo": (0.5,) * 3}] * 4
+        ),
+        lights=LightBuffers.build(),
+    )
+    o = jnp.asarray([
+        [0.5, 0.0, 0.0],   # hits the disk annulus at t=3
+        [0.1, 0.0, 0.0],   # inside the inner hole -> cylinder at t=5.5
+        [3.0, 0.0, 0.0],   # misses both -> triangle at t=9
+        [0.1, 5.0, 0.0],   # above the cylinder's axial span -> triangle
+    ], jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+    it = accel_api.closest(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(it.valid), [True] * 4)
+    np.testing.assert_array_equal(np.asarray(it.mat), [1, 2, 3, 3])
+    np.testing.assert_allclose(float(it.t[0]), 3.0, rtol=1e-5)
+    # Cylinder entry: z = 6 - sqrt(0.25 - 0.01).
+    np.testing.assert_allclose(
+        float(it.t[1]), 6.0 - np.sqrt(0.25 - 0.01), rtol=1e-4
+    )
+    # Normals: disk -z plane; cylinder radial (x, z) with zero y.
+    np.testing.assert_allclose(
+        np.abs(float(it.n[0, 2])), 1.0, atol=1e-5
+    )
+    assert abs(float(it.n[1, 1])) < 1e-5
+    # Occlusion sees both quadrics.
+    occ = accel_api.any_hit(
+        scene, o, d, jnp.full((4,), 4.0)
+    )
+    np.testing.assert_array_equal(np.asarray(occ), [True, False, False, False])
+
+
+def test_parser_analytic_quadrics(tmp_path):
+    scene_file = tmp_path / "quadrics.pbrt"
+    scene_file.write_text(
+        """
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+Material "diffuse" "rgb reflectance" [0.5 0.5 0.5]
+AttributeBegin
+Translate 0 0 4
+Shape "disk" "float radius" [0.8]
+AttributeEnd
+AttributeBegin
+Translate 2 0 4
+Rotate 90 1 0 0
+Shape "cylinder" "float radius" [0.4] "float zmin" [-0.5] "float zmax" [0.5]
+AttributeEnd
+"""
+    )
+    from pbrt_tpu.io.parser import load_pbrt
+
+    scene, camera, settings = load_pbrt(str(scene_file))
+    assert scene.geom.num_disks == 1
+    assert scene.geom.num_cyls == 1
+    it = accel_api_closest_probe(scene)
+    assert bool(it.valid[0])
+
+
+def accel_api_closest_probe(scene):
+    from pbrt_tpu.accel import api as accel_api
+
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    return accel_api.closest(scene, o, d)
