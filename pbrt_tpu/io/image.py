@@ -364,6 +364,12 @@ def read_image_rgb(path: str) -> np.ndarray:
     if low.endswith(".pfm"):
         img = np.asarray(read_pfm(path), np.float32)
         return img if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
+    if low.endswith(".qoi"):
+        img = read_qoi(path)[..., :3]
+        srgb = img <= 0.04045
+        return np.where(
+            srgb, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+        ).astype(np.float32)
     if low.endswith(".png"):
         img = read_png(path)[..., :3]
         if img.shape[-1] == 1:
@@ -373,3 +379,125 @@ def read_image_rgb(path: str) -> np.ndarray:
             srgb, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
         ).astype(np.float32)
     raise ValueError(f"unsupported image format: {path}")
+
+
+# --- QOI (Quite OK Image format; spec qoiformat.org) -------------------------
+
+
+def write_qoi(path: str, img: np.ndarray) -> None:
+    """Encode (h, w, 3|4) uint8 or [0,1] float to QOI (util/image.cpp's QOI
+    writer role; the format spec is public domain)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w, ch = img.shape
+    assert ch in (3, 4), ch
+    px = np.concatenate(
+        [img, np.full((h, w, 1), 255, np.uint8)], -1
+    ) if ch == 3 else img
+    flat = px.reshape(-1, 4).astype(np.int64)  # python-int arithmetic
+    out = bytearray()
+    out += b"qoif" + struct.pack(">IIBB", w, h, ch, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in map(tuple, flat):
+        if p == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        r, g, b, a = p
+        idx = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[idx] == p:
+            out.append(idx)
+        else:
+            index[idx] = p
+            pr, pg, pb, pa = prev
+            if a == pa:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(
+                        0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                    )
+                elif (
+                    -32 <= dg <= 31 and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, a))
+        prev = p
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_qoi(path: str) -> np.ndarray:
+    """Decode QOI to (h, w, C) float32 in [0, 1]."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == b"qoif", "not a QOI file"
+    w, h, ch, _cs = struct.unpack(">IIBB", buf[4:14])
+    px = np.zeros((h * w, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    i, n = 14, h * w
+    pos = 0
+    while pos < n and i < len(buf) - 8:
+        b0 = int(buf[i])
+        i += 1
+        if b0 == 0xFE:
+            prev = (buf[i], buf[i + 1], buf[i + 2], prev[3])
+            i += 3
+        elif b0 == 0xFF:
+            prev = (buf[i], buf[i + 1], buf[i + 2], buf[i + 3])
+            i += 4
+        elif b0 >> 6 == 0:
+            prev = index[b0]
+        elif b0 >> 6 == 1:
+            dr = ((b0 >> 4) & 3) - 2
+            dg = ((b0 >> 2) & 3) - 2
+            db = (b0 & 3) - 2
+            prev = (
+                (prev[0] + dr) % 256, (prev[1] + dg) % 256,
+                (prev[2] + db) % 256, prev[3],
+            )
+        elif b0 >> 6 == 2:
+            dg = (b0 & 0x3F) - 32
+            b1 = buf[i]
+            i += 1
+            dr = dg + ((b1 >> 4) & 0xF) - 8
+            db = dg + (b1 & 0xF) - 8
+            prev = (
+                (prev[0] + dr) % 256, (prev[1] + dg) % 256,
+                (prev[2] + db) % 256, prev[3],
+            )
+        else:  # run
+            run = (b0 & 0x3F) + 1
+            px[pos:pos + run] = prev
+            pos += run
+            idx = (
+                prev[0] * 3 + prev[1] * 5 + prev[2] * 7 + prev[3] * 11
+            ) % 64
+            index[idx] = prev
+            continue
+        idx = (prev[0] * 3 + prev[1] * 5 + prev[2] * 7 + prev[3] * 11) % 64
+        index[idx] = prev
+        px[pos] = prev
+        pos += 1
+    out = px.reshape(h, w, 4).astype(np.float32) / 255.0
+    return out[..., :ch]

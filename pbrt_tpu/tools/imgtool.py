@@ -43,6 +43,13 @@ def _write(path: str, img: np.ndarray) -> None:
 
         enc = np.asarray(colorspace.srgb_encode(jnp.asarray(np.clip(img, 0, 1))))
         write_png(path, enc)
+    elif path.endswith(".qoi"):
+        import jax.numpy as jnp
+
+        from ..io.image import write_qoi
+
+        enc = np.asarray(colorspace.srgb_encode(jnp.asarray(np.clip(img, 0, 1))))
+        write_qoi(path, enc)
     else:
         raise ValueError(f"unsupported output format: {path}")
 

@@ -58,3 +58,25 @@ def test_png_smoke(tmp_path):
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert b"IHDR" in data and b"IEND" in data
+
+
+def test_qoi_roundtrip():
+    """QOI encode/decode bit-exactness across all op codes (runs, index
+    hits, small/medium diffs, full RGB/RGBA literals)."""
+    from pbrt_tpu.io.image import read_qoi, write_qoi
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((23, 17, 3)) * 255).astype(np.uint8)
+    img[5:9] = img[4]        # runs
+    img[:, 3] = img[:, 2]    # index hits
+    img[10, :] = np.clip(img[9, :].astype(int) + 1, 0, 255)  # small diffs
+    write_qoi("/tmp/qoi_rt.qoi", img)
+    back = read_qoi("/tmp/qoi_rt.qoi")
+    np.testing.assert_array_equal(
+        (back * 255).round().astype(np.uint8), img
+    )
+    img4 = (rng.random((9, 11, 4)) * 255).astype(np.uint8)
+    write_qoi("/tmp/qoi_rt4.qoi", img4)
+    np.testing.assert_array_equal(
+        (read_qoi("/tmp/qoi_rt4.qoi") * 255).round().astype(np.uint8), img4
+    )
