@@ -437,6 +437,15 @@ class PbrtParser:
             t = _get_vec(p, "transmittance")
             if t is not None and len(np.atleast_1d(t)) == 3:
                 spec["transmittance"] = tuple(np.asarray(t, float))
+        elif mtype == "retroreflective":
+            # The ISET fork's RetroreflectiveBxDF (bxdfs.h:104): conductor
+            # microfacet params + the wo-peaked retro lobe.
+            from ..materials.buffers import MAT_RETRO
+
+            spec["kind"] = MAT_RETRO
+            spec["roughness"] = float(_get(p, "roughness", 0.05) or 0.05)
+            cond = _get(p, "conductor", "Al")
+            spec["conductor"] = cond
         elif mtype == "mix":
             # MixMaterial (materials.h): "string materials" names two
             # previously defined named materials; amount = P(first).

@@ -29,6 +29,7 @@ MAT_HAIR = 7
 MAT_SUBSURFACE = 8
 MAT_MEASURED = 9
 MAT_MIX = 10
+MAT_RETRO = 11
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -91,6 +92,7 @@ class MaterialBuffers:
     any_subsurface: bool = static_field(default=False)
     any_measured: bool = static_field(default=False)
     any_mix: bool = static_field(default=False)
+    any_retro: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -173,6 +175,7 @@ class MaterialBuffers:
             any_subsurface=any(k == MAT_SUBSURFACE for k in kinds),
             any_measured=any(k == MAT_MEASURED for k in kinds),
             any_mix=any(k == MAT_MIX for k in kinds),
+            any_retro=any(k == MAT_RETRO for k in kinds),
             measured_idx=jnp.asarray(meas_idx, jnp.int32),
             mix_m0=jnp.asarray(mix_m0, jnp.int32),
             mix_m1=jnp.asarray(mix_m1, jnp.int32),
@@ -242,4 +245,6 @@ class MaterialBuffers:
             "any_hair": self.any_hair,
             "any_subsurface": self.any_subsurface,
             "any_measured": self.any_measured,
+            "any_mix": self.any_mix,
+            "any_retro": self.any_retro,
         }

@@ -429,6 +429,39 @@ def _gather_spectral_eta_k(params, lam):
     return eta, k
 
 
+def retro_f(eta, k, alpha, wo, wi):
+    """RetroreflectiveBxDF::f (the ISET fork, bxdfs.h:104-180): a standard
+    GGX conductor lobe PLUS a retro lobe whose microfacet normal is wo
+    itself — peaked around wi == wo — both weighted by the fork's
+    (1 - (R_i - R_o)) dielectric-coating factor."""
+    same = _same_hemisphere(wo, wi)
+    alpha_r = jnp.maximum(alpha, 1e-3)
+    standard = conductor_f(eta, k, alpha_r, wo, wi)
+    cos_o = jnp.maximum(_abscos(wo), 1e-6)
+    cos_i = jnp.maximum(_abscos(wi), 1e-6)
+    wm_retro = wo * jnp.sign(wo[..., 2:3])
+    d_retro = sc.ggx_d(wm_retro, alpha_r)
+    g = sc.ggx_g(wo, wi, alpha_r)
+    f_retro_fres = sc.fr_complex(jnp.abs(_dot(wo, wi))[..., None], eta, k)
+    retro = (
+        f_retro_fres * (d_retro * g / (4.0 * cos_o * cos_i))[..., None]
+    )
+    r_i = sc.fr_dielectric(jnp.abs(_dot(wi, wm_retro)),
+                           jnp.full_like(cos_i, 1.59))
+    wm = normalize_half(wo, wi)
+    r_o = sc.fr_dielectric(jnp.abs(_dot(wo, wm)),
+                           jnp.full_like(cos_o, 1.59))
+    w = jnp.clip(1.0 - (r_i - r_o), 0.0, 2.0)[..., None]
+    return jnp.where(same[..., None], w * (retro + standard), 0.0)
+
+
+def normalize_half(wo, wi):
+    h = wo + wi
+    return h / jnp.maximum(
+        jnp.sqrt(jnp.sum(h * h, axis=-1, keepdims=True)), 1e-9
+    )
+
+
 def _measured_f(params, wo, wi, lam):
     """Tabulated measured-BRDF lookup for the per-ray table indices
     (MeasuredBxDF::f role; see materials/measured.py for the layout)."""
@@ -528,6 +561,12 @@ def evaluate(params, wo, wi, lam):
         from .buffers import MAT_MEASURED
 
         f = jnp.where((kind == MAT_MEASURED)[..., None], f_m, f)
+    if params.get("any_retro"):
+        from .buffers import MAT_RETRO
+
+        eta_c, k_c = _gather_spectral_eta_k(params, lam)
+        f_r = retro_f(eta_c, k_c, alpha, wo, wi)
+        f = jnp.where((kind == MAT_RETRO)[..., None], f_r, f)
     return f
 
 
@@ -570,6 +609,13 @@ def pdf(params, wo, wi):
         from .buffers import MAT_MEASURED
 
         p = jnp.where(kind == MAT_MEASURED, diffuse_pdf(wo, wi), p)
+    if params.get("any_retro"):
+        from .buffers import MAT_RETRO
+
+        p = jnp.where(
+            kind == MAT_RETRO,
+            conductor_pdf(jnp.maximum(alpha, 1e-3), wo, wi), p,
+        )
     return p
 
 
@@ -679,6 +725,19 @@ def sample(params, wo, lam, u2, uc):
         wi = jnp.where(m[..., None], wi_m, wi)
         f = jnp.where(m[..., None], f_m, f)
         p = jnp.where(m, p_m, p)
+        specular = jnp.where(m, False, specular)
+
+    if params.get("any_retro"):
+        from .buffers import MAT_RETRO
+
+        eta_c, k_c = _gather_spectral_eta_k(params, lam)
+        alpha_r = jnp.maximum(alpha, 1e-3)
+        wi_r, _, p_r, _ = conductor_sample(eta_c, k_c, alpha_r, wo, u2)
+        f_r = retro_f(eta_c, k_c, alpha_r, wo, wi_r)
+        m = kind == MAT_RETRO
+        wi = jnp.where(m[..., None], wi_r, wi)
+        f = jnp.where(m[..., None], f_r, f)
+        p = jnp.where(m, p_r, p)
         specular = jnp.where(m, False, specular)
 
     if params["any_hair"]:

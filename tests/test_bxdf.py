@@ -301,3 +301,33 @@ def test_diffuse_transmission():
     # Energy: total scattering = reflectance + transmittance.
     w = np.asarray(out["f"]) * np.abs(wi[:, 2:3]) / np.asarray(out["pdf"])[:, None]
     np.testing.assert_allclose(w.mean(), 0.75, atol=0.03)
+
+
+def test_retroreflective():
+    """RetroreflectiveBxDF (the ISET fork's addition, bxdfs.h:104): the
+    BRDF adds a wo-aligned retro lobe on top of the standard conductor
+    lobe — at wi == wo it must exceed the plain conductor, and
+    sample/eval/pdf stay consistent."""
+    from pbrt_tpu.materials.buffers import MAT_RETRO
+
+    n = 4096
+    params = _params(MAT_RETRO, n, roughness=0.3, conductor="Al")
+    params_c = _params(MAT_CONDUCTOR, n, roughness=0.3, conductor="Al")
+    wo = normalize(jnp.broadcast_to(jnp.asarray([0.45, 0.0, 0.89]), (n, 3)))
+    lam = _lam(n)
+    f_retro = float(np.asarray(bxdf.evaluate(params, wo, wo, lam)).mean())
+    f_cond = float(np.asarray(bxdf.evaluate(params_c, wo, wo, lam)).mean())
+    assert f_retro > 1.3 * f_cond, (f_retro, f_cond)
+    # Sampling consistency: sampled f equals evaluate at the sampled wi.
+    out = bxdf.sample(params, wo, lam, _u2(n), _uc(n))
+    ok = np.asarray(out["pdf"]) > 1e-6
+    assert ok.mean() > 0.7  # rough GGX loses below-horizon reflections
+    f2 = np.asarray(bxdf.evaluate(params, wo, out["wi"], lam))
+    np.testing.assert_allclose(
+        np.asarray(out["f"])[ok], f2[ok], rtol=5e-3, atol=1e-5
+    )
+    p2 = np.asarray(bxdf.pdf(params, wo, out["wi"]))
+    np.testing.assert_allclose(
+        np.asarray(out["pdf"])[ok], p2[ok], rtol=5e-3, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(out["f"])).all()
