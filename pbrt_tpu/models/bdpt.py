@@ -277,15 +277,12 @@ class BDPTIntegrator:
 
         # Vertex accessors: x index i (1-based surface) -> X arrays [i-1];
         # y index j: j == 0 is the light origin, else Y arrays [j-1].
+        # EVERY static any_* dispatch flag of the materials table (new
+        # material families register here automatically).
         mat_flags = {
-            k_: v_ for k_, v_ in (
-                ("any_conductor", scene.materials.any_conductor),
-                ("any_dielectric", scene.materials.any_dielectric),
-                ("any_thin", scene.materials.any_thin),
-                ("any_coated", scene.materials.any_coated),
-                ("any_diffusetrans", scene.materials.any_diffusetrans),
-                ("any_hair", scene.materials.any_hair),
-            )
+            k_: getattr(scene.materials, k_)
+            for k_ in dir(scene.materials)
+            if k_.startswith("any_")
         }
 
         def xv(i, key):

@@ -132,14 +132,24 @@ class SPPMIntegrator:
         # the VP store: a lax.scan carry promotes them to traced arrays,
         # which breaks bxdf's static dispatch. Arrays are carried; statics
         # re-attach after the scan.
+        # Per-RAY array leaves ride the scan carry; everything else
+        # (python bools AND shared tables like the measured-BRDF stack,
+        # whose leading dim is not the ray count) re-attaches afterward.
+        _shared_tables = ("measured_coeffs", "measured_scale")
+
+        def _is_ray_leaf(k, v):
+            return (
+                k not in _shared_tables
+                and isinstance(v, jnp.ndarray) and v.ndim >= 1
+                and v.shape[0] == 1  # params0 comes from a 1-ray probe
+            )
+
         params_static = {
-            k: v for k, v in params0.items()
-            if not isinstance(v, jnp.ndarray)
+            k: v for k, v in params0.items() if not _is_ray_leaf(k, v)
         }
         params_init = {
             k: jnp.zeros((npix,) + v.shape[1:], v.dtype)
-            for k, v in params0.items()
-            if isinstance(v, jnp.ndarray)
+            for k, v in params0.items() if _is_ray_leaf(k, v)
         }
 
         init = {

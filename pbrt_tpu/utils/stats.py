@@ -81,3 +81,76 @@ class ProgressReporter:
     def finish(self):
         if self.done < self.total:
             self.update(self.total - self.done)
+
+
+# --- CHECK_RARE + per-pixel statistics images -------------------------------
+# Reference analogues: CHECK_RARE (util/check.h:101 — assert a condition is
+# rare, reporting the observed frequency) and the --pixelstats per-pixel
+# statistics images (util/stats.cpp StatsWritePixelImages).
+
+_RARE = {}
+
+
+def check_rare(name: str, condition_mask, max_freq: float = 1e-3):
+    """Record how often `condition_mask` (bool array) is true; warn to
+    stderr when the observed frequency exceeds max_freq. Host-side (call on
+    materialized arrays or under io_callback); returns the frequency."""
+    import numpy as np
+
+    m = np.asarray(condition_mask)
+    hits, total = int(m.sum()), int(m.size)
+    h0, t0, mf = _RARE.get(name, (0, 0, max_freq))
+    _RARE[name] = (h0 + hits, t0 + total, max_freq)
+    freq = (h0 + hits) / max(t0 + total, 1)
+    if freq > max_freq and (t0 + total) > 1000:
+        print(
+            f"CHECK_RARE '{name}': frequency {freq:.2e} exceeds "
+            f"{max_freq:.1e} ({h0 + hits}/{t0 + total})",
+            file=sys.stderr,
+        )
+    return freq
+
+
+def rare_report() -> dict:
+    """All CHECK_RARE frequencies observed so far."""
+    return {
+        k: {"hits": h, "total": t, "freq": h / max(t, 1), "max_freq": mf}
+        for k, (h, t, mf) in _RARE.items()
+    }
+
+
+class PixelStats:
+    """Accumulate named per-pixel statistic images (the reference's
+    --pixelstats: one EXR channel per STAT_PIXEL counter)."""
+
+    def __init__(self, nx: int, ny: int):
+        import numpy as np
+
+        self.nx, self.ny = nx, ny
+        self.images = {}
+        self._np = np
+
+    def add(self, name: str, pixel_ids, values=None):
+        """Scatter-accumulate values (default 1) at flat pixel ids."""
+        np = self._np
+        img = self.images.setdefault(
+            name, np.zeros((self.ny * self.nx,), np.float64)
+        )
+        pid = np.asarray(pixel_ids).reshape(-1)
+        v = (
+            np.ones_like(pid, np.float64)
+            if values is None else np.asarray(values, np.float64).reshape(-1)
+        )
+        np.add.at(img, np.clip(pid, 0, img.size - 1), v)
+
+    def write(self, path: str):
+        """Write all stat planes to one EXR (channel per statistic)."""
+        from ..io.image import write_exr
+
+        np = self._np
+        names = sorted(self.images)
+        chans = np.stack(
+            [self.images[n].reshape(self.ny, self.nx) for n in names], -1
+        ).astype(np.float32)
+        write_exr(path, chans, channel_names=names)
+        return names
