@@ -41,25 +41,33 @@ def _sphere_best(geom, o, d, tmax):
 
 
 def _merge_disk_cyl(geom, o, d, isect: Interaction) -> Interaction:
-    """Fold analytic disk/cylinder hits into a base Interaction (the same
-    closest-wins merge the sphere/curve families use)."""
-    if geom.num_disks == 0 and geom.num_cyls == 0:
+    """Fold analytic disk/cylinder/bilinear-patch hits into a base
+    Interaction (the same closest-wins merge the sphere/curve families
+    use)."""
+    if geom.num_disks == 0 and geom.num_cyls == 0 and geom.num_blps == 0:
         return isect
     t_cur = jnp.where(isect.valid, isect.t, _INF)
     base = geom.num_triangles + geom.num_spheres + geom.num_curves
     upd = isect
-    for kind_disk, best in (
-        (True, dense.disk_best), (False, dense.cyl_best),
+    for fam, best in (
+        ("disk", dense.disk_best), ("cyl", dense.cyl_best),
+        ("blp", dense.blp_best),
     ):
-        n_fam = geom.num_disks if kind_disk else geom.num_cyls
+        n_fam = {"disk": geom.num_disks, "cyl": geom.num_cyls,
+                 "blp": geom.num_blps}[fam]
         if n_fam == 0:
             continue
         t_f, i_f, u_f, v_f = best(geom, o, d, t_cur)
         better = t_f < t_cur
-        ng = dense.disk_cyl_normals(
-            geom, o, d, t_f, jnp.full(t_f.shape, kind_disk, bool), i_f
-        )
-        mats = geom.disk_mat if kind_disk else geom.cyl_mat
+        if fam == "blp":
+            ng = dense.blp_normal(geom, i_f, u_f, v_f)
+        else:
+            ng = dense.disk_cyl_normals(
+                geom, o, d, t_f, jnp.full(t_f.shape, fam == "disk", bool),
+                i_f,
+            )
+        mats = {"disk": geom.disk_mat, "cyl": geom.cyl_mat,
+                "blp": geom.blp_mat}[fam]
         safe = jnp.clip(jnp.maximum(i_f, 0), 0, n_fam - 1)
         mat_f = gather_rows(mats, safe)
         p_new = o + t_f[:, None] * d
@@ -198,6 +206,9 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
         if geom.num_cyls > 0:
             _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
             occ = occ | (i_c >= 0)
+        if geom.num_blps > 0:
+            _, i_b, _, _ = dense.blp_best(geom, o, d, tmax)
+            occ = occ | (i_b >= 0)
         return occ
     if small is not None and jax.default_backend() != "cpu":
         from ..ops.smallscene import smallscene_intersect
@@ -205,7 +216,10 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
         res = smallscene_intersect(small, o, d, tmax, any_hit=True)
         occ = res["prim"] >= 0
     elif small is not None:
-        return dense.intersect_any(geom, o, d, tmax)
+        # CPU fallback: the dense tester covers tri/sphere/curve; the
+        # quadric families merge below (the extra sphere/curve ORs are
+        # no-ops).
+        occ = dense.intersect_any(geom, o, d, tmax)
     elif scene.clusters is not None:
         from ..ops.cluster import cluster_intersect
 
@@ -233,4 +247,7 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     if geom.num_cyls > 0:
         _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
         occ = occ | (i_c >= 0)
+    if geom.num_blps > 0:
+        _, i_b, _, _ = dense.blp_best(geom, o, d, tmax)
+        occ = occ | (i_b >= 0)
     return occ

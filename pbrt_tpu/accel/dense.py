@@ -569,3 +569,100 @@ def disk_cyl_normals(geom, o, d, t, kind_disk, idx):
     else:
         n_cyl = jnp.zeros_like(o)
     return jnp.where(kind_disk[:, None], n_disk, n_cyl)
+
+
+def blp_best(geom: GeometryBuffers, o, d, tmax):
+    """Best analytic bilinear-patch hit: (t, idx, u, v); idx -1 on miss.
+
+    Patch row: [p00 p10 p01 p11] (12 floats). Solves Reshetov's quadratic
+    in u from the coplanarity determinant, then v and t per root
+    (BilinearPatch::Intersect, shapes.h:1350 'Cool Patches' method).
+    """
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), INF, o.dtype)
+    bp = geom.blp
+    p00 = bp[None, :, 0:3]
+    p10 = bp[None, :, 3:6]
+    p01 = bp[None, :, 6:9]
+    p11 = bp[None, :, 9:12]
+    e10 = p10 - p00
+    e00 = p01 - p00
+    E = p11 - p10 - p01 + p00
+    q = p00 - o[:, None, :]
+    dd = d[:, None, :]
+
+    def det3(a, b, c):
+        return jnp.sum(jnp.cross(a, b) * c, axis=-1)
+
+    A = det3(e10, E, dd)
+    B = det3(e10, e00, dd) + det3(q, E, dd)
+    C = det3(q, e00, dd)
+    # Robust quadratic (degenerates to linear for planar patches, A ~ 0).
+    lin = jnp.abs(A) < 1e-12
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qf = -0.5 * (B + jnp.sign(jnp.where(B == 0.0, 1.0, B)) * sq)
+    A_s = jnp.where(lin, 1.0, A)
+    u_a = jnp.where(lin, -C / jnp.where(jnp.abs(B) < 1e-12, 1e-12, B),
+                    qf / A_s)
+    u_b = jnp.where(lin, 2.0, C / jnp.where(jnp.abs(qf) < 1e-12, 1e-12, qf))
+    valid_roots = jnp.where(lin[..., None],
+                            jnp.stack([jnp.ones_like(disc),
+                                       jnp.zeros_like(disc)], -1) > 0,
+                            jnp.stack([disc >= 0.0, disc >= 0.0], -1))
+
+    t_best = jnp.full(A.shape, INF)
+    u_best = jnp.zeros(A.shape)
+    v_best = jnp.zeros(A.shape)
+    for r, uu in ((0, u_a), (1, u_b)):
+        pu = q + uu[..., None] * e10
+        gv = e00 + uu[..., None] * E
+        pu_x_d = jnp.cross(pu, dd)
+        gv_x_d = jnp.cross(gv, dd)
+        denom = jnp.sum(gv_x_d * gv_x_d, axis=-1)
+        vv = -jnp.sum(pu_x_d * gv_x_d, axis=-1) / jnp.where(
+            denom < 1e-18, 1e-18, denom
+        )
+        tt = jnp.sum((pu + vv[..., None] * gv) * dd, axis=-1)
+        ok = (
+            valid_roots[..., r]
+            & (uu >= -1e-5) & (uu <= 1.0 + 1e-5)
+            & (vv >= -1e-5) & (vv <= 1.0 + 1e-5)
+            & (tt > 1e-5) & (tt < tmax[:, None]) & (denom > 1e-18)
+        )
+        better = ok & (tt < t_best)
+        t_best = jnp.where(better, tt, t_best)
+        u_best = jnp.where(better, uu, u_best)
+        v_best = jnp.where(better, vv, v_best)
+
+    tm = jnp.where(jnp.isfinite(t_best), t_best, INF)
+    idx = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    tb = jnp.min(tm, axis=1)
+    pick = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    ok = jnp.isfinite(tb) & (geom.num_blps > 0)
+    return (
+        jnp.where(ok, tb, INF),
+        jnp.where(ok, idx, -1),
+        jnp.where(ok, pick(u_best), 0.0),
+        jnp.where(ok, pick(v_best), 0.0),
+    )
+
+
+def blp_normal(geom, idx, u, v):
+    """Geometric normal of bilinear-patch hits: cross(dP/du, dP/dv)."""
+    from ..core.gather import gather_rows
+
+    nb = max(geom.num_blps, 1)
+    row = gather_rows(geom.blp, jnp.clip(idx, 0, nb - 1))
+    p00, p10 = row[:, 0:3], row[:, 3:6]
+    p01, p11 = row[:, 6:9], row[:, 9:12]
+    e10 = p10 - p00
+    e00 = p01 - p00
+    E = p11 - p10 - p01 + p00
+    du = e10 + v[:, None] * E
+    dv = e00 + u[:, None] * E
+    n = jnp.cross(du, dv)
+    return n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
+    )

@@ -188,6 +188,7 @@ class PbrtParser:
         self.curves = []
         self.disks = []
         self.cyls = []
+        self.blps = []
         self.tex_specs = []
         self.named_tex = {}
         self.named_media = {}
@@ -1048,6 +1049,22 @@ class PbrtParser:
             local = np.asarray(tris, np.float32).reshape(-1, 3)
             world = self._pts(local).reshape(-1, 3, 3)
             tris = world
+        elif stype == "bilinearmesh" and self.cur_area_light is None:
+            # Analytic bilinear patches (Reshetov; shapes.h:1350).
+            pts = _get_vec(p, "P").reshape(-1, 3)
+            idx = _get_vec(p, "indices")
+            if idx is not None:
+                quads = pts[np.asarray(idx, np.int64).reshape(-1, 4)]
+            else:
+                quads = pts.reshape(-1, 4, 3)
+            for qd in quads:
+                w = self._pts(qd.astype(np.float64))
+                # pbrt quad vertex order: p00, p10, p01, p11.
+                self.blps.append(
+                    (tuple(w[0]) + tuple(w[1]) + tuple(w[2]) + tuple(w[3]),
+                     self.cur_material)
+                )
+            return
         elif stype == "bilinearmesh":
             # Tessellate each bilinear patch on a 4x4 grid (exact for planar
             # quads; curved patches approximated — analytic Reshetov
@@ -1177,6 +1194,10 @@ class PbrtParser:
             if self.cyls else None,
             cyl_mat=np.asarray([m for _, m in self.cyls], np.int32)
             if self.cyls else None,
+            blp=np.asarray([b for b, _ in self.blps], np.float32)
+            if self.blps else None,
+            blp_mat=np.asarray([m for _, m in self.blps], np.int32)
+            if self.blps else None,
         )
         materials = MaterialBuffers.build(self.materials)
         lights = LightBuffers.build(

@@ -33,6 +33,8 @@ class GeometryBuffers:
     disk_mat:   (D,)      int32
     cyl:        (Cy, 8)   float32 [base_point(3) axis(3) radius half_len]
     cyl_mat:    (Cy,)     int32
+    blp:        (Bp, 12)  float32 bilinear patches [p00 p10 p01 p11]
+    blp_mat:    (Bp,)     int32
     """
 
     tri_verts: jnp.ndarray
@@ -48,12 +50,15 @@ class GeometryBuffers:
     disk_mat: jnp.ndarray
     cyl: jnp.ndarray
     cyl_mat: jnp.ndarray
+    blp: jnp.ndarray
+    blp_mat: jnp.ndarray
 
     @staticmethod
     def build(
         tri_verts=None, tri_mat=None, tri_light=None, spheres=None,
         sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
         disk=None, disk_mat=None, cyl=None, cyl_mat=None,
+        blp=None, blp_mat=None,
     ) -> "GeometryBuffers":
         def _arr(x, shape, dtype):
             if x is None:
@@ -88,6 +93,9 @@ class GeometryBuffers:
             cyl=_arr(cyl, (0 if cyl is None else len(cyl), 8), jnp.float32),
             cyl_mat=_arr(cyl_mat, (0 if cyl is None else len(cyl),),
                          jnp.int32),
+            blp=_arr(blp, (0 if blp is None else len(blp), 12), jnp.float32),
+            blp_mat=_arr(blp_mat, (0 if blp is None else len(blp),),
+                         jnp.int32),
         )
 
     @property
@@ -109,6 +117,10 @@ class GeometryBuffers:
     @property
     def num_cyls(self) -> int:
         return self.cyl.shape[0]
+
+    @property
+    def num_blps(self) -> int:
+        return self.blp.shape[0]
 
 
 @pytree
