@@ -172,9 +172,11 @@ def test_emissive_sphere_and_bilinear_patch():
     WorldEnd
     """
     scene, _, _ = load_pbrt_string(text)
-    # Icosphere(2) = 320 triangles, all emissive; patch adds 32 triangles.
+    # Icosphere(2) = 320 triangles, all emissive; the (non-emissive)
+    # bilinear patch is now ANALYTIC rather than tessellated.
     assert scene.lights.n_area == 320
-    assert scene.geom.num_triangles == 320 + 32
+    assert scene.geom.num_triangles == 320
+    assert scene.geom.num_blps == 1
     # Sphere triangles centered near (0, 2, 0) with radius ~0.3.
     v = np.asarray(scene.geom.tri_verts[:320]).reshape(-1, 3)
     r = np.linalg.norm(v - np.array([0, 2, 0]), axis=1)
