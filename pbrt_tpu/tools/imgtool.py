@@ -115,6 +115,35 @@ def cmd_error(args):
     return 0
 
 
+def cmd_denoise(args):
+    """Auxiliary-guided denoiser (imgtool denoise; the GPU build delegates
+    to the OptiX denoiser — here an open cross-bilateral filter guided by
+    the renderer's own GBuffer AOVs; utils/denoise.py)."""
+    from ..utils.denoise import denoise
+
+    img = _read(args.input)
+    albedo = normal = depth = None
+    if args.aov:
+        aux, chans, _ = read_exr(args.aov)
+
+        def grab(names):
+            if all(n in chans for n in names):
+                return np.stack(
+                    [aux[..., chans.index(n)] for n in names], -1
+                )
+            return None
+
+        albedo = grab(["AlbedoR", "AlbedoG", "AlbedoB"])
+        normal = grab(["Nx", "Ny", "Nz"])
+        dz = grab(["Depth"])
+        depth = dz[..., 0] if dz is not None else None
+    out = denoise(
+        img, albedo=albedo, normal=normal, depth=depth,
+        radius=args.radius,
+    )
+    _write(args.output, out)
+
+
 def cmd_makesky(args):
     """Analytic sun/sky environment map (imgtool makesky; Preetham model
     standing in for the vendored Hosek-Wilkie dataset)."""
@@ -242,6 +271,14 @@ def main(argv=None):
     c.add_argument("--flip", action="store_true")
     c.add_argument("--ppd", type=float, default=67.0)
     c.set_defaults(fn=cmd_error)
+
+    c = sub.add_parser("denoise")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--aov", default=None,
+                   help="GBuffer EXR from pbrt_render --gbuffer")
+    c.add_argument("--radius", type=int, default=5)
+    c.set_defaults(fn=cmd_denoise)
 
     c = sub.add_parser("makesky")
     c.add_argument("output")
