@@ -25,7 +25,10 @@ class _Stats:
     def observe(self, name: str, value: float):
         self.distributions[name].append(value)
 
-    def report(self, file=sys.stderr):
+    def report(self, file=None):
+        # Resolve stderr at CALL time (a sys.stderr default argument binds
+        # the stream at import, breaking per-test capture swapping).
+        file = file if file is not None else sys.stderr
         print("Statistics:", file=file)
         for k in sorted(self.counters):
             print(f"    {k:<46} {self.counters[k]:,.0f}", file=file)

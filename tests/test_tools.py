@@ -91,7 +91,7 @@ def test_ao_integrator():
     assert lum.max() > lum.min() + 0.2
 
 
-def test_stats_and_progress(capsys):
+def test_stats_and_progress(capfd):
     from pbrt_tpu.utils.stats import STATS, ProgressReporter
 
     STATS.clear()
@@ -99,7 +99,10 @@ def test_stats_and_progress(capsys):
     STATS.add("rays traced", 50)
     STATS.observe("bounce depth", 3)
     STATS.report()
-    err = capsys.readouterr().err
+    # capfd (fd-level) instead of capsys: report() may hold a stderr
+    # reference bound at import time, which per-test stream swapping
+    # misses depending on worker import order.
+    err = capfd.readouterr().err
     assert "rays traced" in err and "150" in err
     pr = ProgressReporter(10, quiet=True)
     for _ in range(10):
