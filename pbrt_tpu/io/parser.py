@@ -1288,6 +1288,13 @@ class PbrtParser:
             from ..models.lightpath import LightPathIntegrator
 
             integrator = LightPathIntegrator(max_depth=max_depth)
+        elif self.integrator == "function":
+            # Sampler-evaluation integrator (cpu/integrators.cpp FunctionIntegrator).
+            from ..models.function import FunctionIntegrator
+
+            integrator = FunctionIntegrator(
+                func=str(_get(self.integrator_params, "function", "quadratic")),
+            )
         elif self.integrator == "sppm":
             from ..models.sppm import SPPMIntegrator
 

@@ -63,7 +63,7 @@ def main(argv=None):
             integrator = integrator.replace(
                 base=integrator.base.replace(max_depth=args.maxdepth)
             )
-        else:
+        elif hasattr(integrator, "max_depth"):
             integrator = integrator.replace(max_depth=args.maxdepth)
     spp = args.spp or settings["spp"]
     spp = max(args.samples_per_pass, spp - spp % args.samples_per_pass)
@@ -77,7 +77,18 @@ def main(argv=None):
     from ..models.mlt import MLTIntegrator
     from ..models.sppm import SPPMIntegrator
 
-    if isinstance(integrator, MLTIntegrator):
+    from ..models.function import FunctionIntegrator
+
+    if isinstance(integrator, FunctionIntegrator):
+        est, exact = integrator.render(
+            camera.resolution, spp=spp, sampler_kind=settings["sampler"],
+            seed=args.seed,
+        )
+        est = np.asarray(est)
+        print(f"function={integrator.func} exact={exact:.6g} "
+              f"mse={float(np.mean((est - exact) ** 2)):.3e}")
+        img = np.repeat(est[..., None], 3, axis=-1)
+    elif isinstance(integrator, MLTIntegrator):
         from ..models.mlt import render_mlt
 
         img = render_mlt(
