@@ -88,6 +88,9 @@ class HumanEyeCamera:
     resolution: tuple = static_field()
     retina_radius_mm: float = static_field(default=12.0)
     retina_semi_diam_mm: float = static_field(default=6.0)
+    # HURB diffraction at the iris stop (HumanEyeCamera diffractHURB,
+    # cameras.cpp:2092; pupil diffraction dominates at small pupils).
+    diffraction: bool = static_field(default=False)
 
     @staticmethod
     def navarro(camera_to_world, resolution, pupil_diameter_mm=4.0,
@@ -117,7 +120,7 @@ class HumanEyeCamera:
             inside,
         )
 
-    def generate_rays(self, p_film, u_lens):
+    def generate_rays(self, p_film, u_lens, wavelength_nm=None):
         """Returns (o_world, d_world, weight)."""
         o, inside = self._retina_point(p_film)
         # Aim at the iris stop (surface index 1) disk.
@@ -133,7 +136,15 @@ class HumanEyeCamera:
             axis=-1,
         )
         d = normalize(target - o)
-        o_out, d_out, valid = trace_through_stack(self.lens, o, d)
+        hurb = None
+        if self.diffraction:
+            from .realistic import RealisticCamera
+
+            hurb = RealisticCamera._hurb_noise(self, p_film, u_lens)
+        o_out, d_out, valid = trace_through_stack(
+            self.lens, o, d, hurb_noise=hurb,
+            wavelength_nm=550.0 if wavelength_nm is None else wavelength_nm,
+        )
         o_w = self.camera_to_world.apply_point(o_out)
         d_w = normalize(self.camera_to_world.apply_vector(d_out))
         w = (valid & inside).astype(jnp.float32)

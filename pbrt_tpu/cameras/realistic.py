@@ -2,27 +2,48 @@
 
 Reference analogue: RealisticCamera (/root/reference/src/pbrt/cameras.h:485,
 full element-by-element lens tracing with exit-pupil precomputation) and the
-ISET OmniCamera (:853-1086; adds conic/aspheric surfaces + microlens array —
-conics are supported here through the shared LensStack; microlens arrays and
-HURB diffraction are later tiers).
+ISET OmniCamera (:853-1086): conic/aspheric surfaces, microlens arrays
+(cameras.cpp:3153-3330 MicrolensIndex/SampleMicrolensPupil/
+TraceFullLensSystemFromFilm), and HURB diffraction at the stop
+(cameras.cpp:2742 diffractHURB; enabled by `diffraction`).
 
-TPU design: GenerateRay = sample a point on the rear element disk, build the
-film->rear ray, then trace the whole batch through the stack with one scan.
-Rays clipped by apertures return weight 0 (vignetting) instead of resampling
-— the film accumulates weighted samples, so the estimator matches pbrt's
-exit-pupil-area weighting up to normalization.
+TPU design: GenerateRay = sample a point on the rear element disk (or the
+film point's microlens window), build the film->rear ray, then trace the
+whole batch through the stack(s) with scans. Rays clipped by apertures
+return weight 0 (vignetting) instead of resampling — the film accumulates
+weighted samples, so the estimator matches pbrt's exit-pupil-area weighting
+up to normalization. HURB noise is derived statelessly from the film/pupil
+sample bits, keeping renders replayable.
 """
 
 from __future__ import annotations
+
+import json
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static_field
+from ..core.rng import pcg4d
 from ..core.sampling import sample_uniform_disk_concentric
 from ..core.transform import Transform
 from ..core.vecmath import normalize
 from .lens import LensStack, trace_through_stack
+
+
+@pytree
+class MicrolensArray:
+    """A dims[0] x dims[1] grid of identical small lens stacks covering the
+    film's physical extent at `offset_from_sensor` mm in front of it
+    (OmniCamera::MicrolensData, cameras.h:880). `stack` holds one microlens
+    with vertex z measured from the sensor plane (offset already applied);
+    `offsets` optionally decenters each lens (mm in film space)."""
+
+    stack: LensStack
+    dims: tuple = static_field()  # (mx, my)
+    offset_from_sensor: float = static_field(default=0.001)
+    offsets: object = None  # (mx*my, 2) or None
+    sim_radius: int = static_field(default=0)
 
 
 @pytree
@@ -40,6 +61,10 @@ class RealisticCamera:
     # rear-element-plane rectangles (RealisticCamera::ComputeExitPupilBounds,
     # cameras.h:544). None -> sample the full rear disk.
     pupil_bounds: object = None
+    # Optional MicrolensArray between sensor and main stack (OmniCamera).
+    microlens: object = None
+    # HURB diffraction at the aperture stop (OmniCamera diffractionEnabled).
+    diffraction: bool = static_field(default=False)
 
     @staticmethod
     def create(camera_to_world, lens, resolution, film_diag_mm=35.0,
@@ -62,13 +87,30 @@ class RealisticCamera:
         w = aspect * h
         return w, h
 
-    def generate_rays(self, p_film, u_lens):
+    def _hurb_noise(self, p_film, u_lens):
+        """Stateless (N, 2) standard normals for HURB, hashed from the
+        film/pupil sample bits (replayable, no RNG state threading)."""
+        import jax
+
+        bits = lambda x: jax.lax.bitcast_convert_type(
+            x.astype(jnp.float32), jnp.uint32
+        )
+        h0, h1, _, _ = pcg4d(bits(p_film[..., 0]), bits(p_film[..., 1]),
+                             bits(u_lens[..., 0]), bits(u_lens[..., 1]))
+        u0 = (h0 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        u1 = (h1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u0, 1e-12)))
+        ang = 2.0 * jnp.pi * u1
+        return jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang)], axis=-1)
+
+    def generate_rays(self, p_film, u_lens, wavelength_nm=None):
         """p_film: (N, 2) raster coords; u_lens: (N, 2) pupil samples.
 
         Returns (o_world, d_world, weight) — weight 0 marks vignetted rays.
         All lens math is in millimetres in the camera frame (film at z=0,
         scene toward +z); output is in world units (the camera_to_world
-        transform carries the mm -> scene-unit scale).
+        transform carries the mm -> scene-unit scale). wavelength_nm (scalar
+        or per-ray) feeds HURB diffraction when `diffraction` is set.
         """
         nx, ny = self.resolution
         w, h = self._film_extent()
@@ -81,6 +123,13 @@ class RealisticCamera:
         rear_r = (
             jnp.sqrt(self.lens.aperture2[0]) * self.rear_radius_scale
         )
+        hurb = (self._hurb_noise(p_film, u_lens)
+                if self.diffraction else None)
+        wl = 550.0 if wavelength_nm is None else wavelength_nm
+        if self.microlens is not None:
+            return self._generate_rays_microlens(
+                o, fx, fy, u_lens, w, h, rear_r, hurb, wl
+            )
         if self.pupil_bounds is None:
             # Full rear-disk sampling (most samples vignette through
             # multi-element stops; kept as the fallback path).
@@ -118,10 +167,61 @@ class RealisticCamera:
             [px, py, jnp.broadcast_to(rear_z, fx.shape)], axis=-1
         )
         d = normalize(target - o)
-        o_out, d_out, valid = trace_through_stack(self.lens, o, d)
+        o_out, d_out, valid = trace_through_stack(
+            self.lens, o, d, hurb_noise=hurb, wavelength_nm=wl
+        )
         o_w = self.camera_to_world.apply_point(o_out)
         d_w = normalize(self.camera_to_world.apply_vector(d_out))
         return o_w, d_w, valid.astype(jnp.float32) * w_pupil
+
+    def _generate_rays_microlens(self, o, fx, fy, u_lens, w, h, rear_r,
+                                 hurb, wl):
+        """Two-stage trace through the microlens array then the main stack
+        (OmniCamera::SampleMicrolensPupil + TraceFullLensSystemFromFilm,
+        cameras.cpp:3167/3296): sample a target uniformly over the film
+        point's (2R+1)-cell microlens window, identify the hit lens from the
+        sampled point, and trace film -> that (decentered) microlens ->
+        main lens."""
+        ml = self.microlens
+        mx, my = ml.dims
+        # Film point's cell in lens-grid space (MicrolensIndex).
+        gx = (fx + 0.5 * w) / w * mx
+        gy = (fy + 0.5 * h) / h * my
+        r_sim = float(ml.sim_radius)
+        diam = 2.0 * r_sim + 1.0
+        sx_cell = jnp.floor(gx) - r_sim + u_lens[..., 0] * diam
+        sy_cell = jnp.floor(gy) - r_sim + u_lens[..., 1] * diam
+        # Physical sample point on the microlens plane.
+        sx = sx_cell / mx * w - 0.5 * w
+        sy = sy_cell / my * h - 0.5 * h
+        # The lens actually covering the sampled point.
+        cx_i = jnp.clip(jnp.floor(sx_cell).astype(jnp.int32), 0, mx - 1)
+        cy_i = jnp.clip(jnp.floor(sy_cell).astype(jnp.int32), 0, my - 1)
+        cx = (cx_i.astype(jnp.float32) + 0.5) / mx * w - 0.5 * w
+        cy = (cy_i.astype(jnp.float32) + 0.5) / my * h - 0.5 * h
+        if ml.offsets is not None:
+            from ..core.gather import gather_rows
+
+            off = gather_rows(ml.offsets, cy_i * mx + cx_i)
+            cx = cx + off[..., 0]
+            cy = cy + off[..., 1]
+        target = jnp.stack(
+            [sx, sy, jnp.full_like(sx, ml.offset_from_sensor)], axis=-1
+        )
+        d = normalize(target - o)
+        # Stage 1: through this ray's microlens, traced in the lens' local
+        # (decentered) frame.
+        center = jnp.stack([cx, cy, jnp.zeros_like(cx)], axis=-1)
+        o1, d1, v1 = trace_through_stack(ml.stack, o - center, d)
+        # Stage 2: through the main stack.
+        o2, d2, v2 = trace_through_stack(
+            self.lens, o1 + center, d1, hurb_noise=hurb, wavelength_nm=wl
+        )
+        window_area = (diam / mx * w) * (diam / my * h)
+        w_pupil = window_area / jnp.maximum(np.pi * rear_r * rear_r, 1e-12)
+        o_w = self.camera_to_world.apply_point(o2)
+        d_w = normalize(self.camera_to_world.apply_vector(d2))
+        return o_w, d_w, (v1 & v2).astype(jnp.float32) * w_pupil
 
 
 def compute_exit_pupil_bounds(lens: LensStack, film_diag_mm: float,
@@ -165,6 +265,97 @@ def compute_exit_pupil_bounds(lens: LensStack, film_diag_mm: float,
     return jnp.asarray(bounds)
 
 
+def _scalar(v, default=0.0):
+    """JSON scalar-or-[x,y] field -> float (x component, as OmniCamera's
+    toVec2 path does for the isotropic case)."""
+    if v is None:
+        return default
+    if isinstance(v, (list, tuple)):
+        return float(v[0]) if v else default
+    return float(v)
+
+
+def _ior_at(v, wavelength_nm=550.0):
+    """JSON ior field: number, or spectral table [[wavelengths],[values]]
+    (OmniCamera's toIORSpectrum) -> IOR at wavelength_nm."""
+    if v is None:
+        return 1.0
+    if isinstance(v, (int, float)):
+        return float(v) if v != 0 else 1.0
+    wl = np.asarray(v[0], np.float64)
+    n = np.asarray(v[1], np.float64)
+    out = float(np.interp(wavelength_nm, wl, n))
+    return out if out != 0 else 1.0
+
+
+def _rows_from_json_surfaces(surfaces, wavelength_nm=550.0):
+    rows, conics, asps = [], [], []
+    max_k = 1
+    for s in surfaces:
+        rows.append([
+            _scalar(s.get("radius")),
+            _scalar(s.get("thickness")),
+            _ior_at(s.get("ior"), wavelength_nm),
+            2.0 * _scalar(s.get("semi_aperture")),
+        ])
+        conics.append(_scalar(s.get("conic_constant")))
+        a = s.get("aspheric_coefficients") or []
+        asps.append([float(x) for x in a])
+        max_k = max(max_k, len(a))
+    asp_arr = np.zeros((len(asps), max_k))
+    for i, a in enumerate(asps):
+        asp_arr[i, : len(a)] = a
+    return (np.asarray(rows, np.float64), np.asarray(conics, np.float64),
+            asp_arr)
+
+
+def load_lens_json(path: str, wavelength_nm: float = 550.0,
+                   microlens_sensor_offset_mm: float = 1.0,
+                   sim_radius: int = 0):
+    """Parse an omni-style .json lens description (OmniCamera::Create,
+    cameras.cpp: surfaces with radius/thickness/ior/semi_aperture/
+    conic_constant/aspheric_coefficients + optional microlens block).
+
+    Units stay in mm (the reference converts to meters; our lens space is
+    mm). Spectral IOR tables are evaluated at wavelength_nm. Returns
+    (LensStack, MicrolensArray | None); microlens local stacks put their
+    rear vertex at the sensor-offset plane.
+    """
+    with open(path) as f:
+        j = json.load(f)
+    surfaces = j.get("surfaces")
+    if not surfaces:
+        raise ValueError(f"no surfaces in lens json: {path}")
+    rows, conics, asp = _rows_from_json_surfaces(surfaces, wavelength_nm)
+    stack = LensStack.from_pbrt_elements(rows, conic=conics, aspheric=asp)
+    micro = None
+    mj = j.get("microlens")
+    if mj:
+        mdims = mj.get("dimensions")
+        mrows, mconics, masp = _rows_from_json_surfaces(
+            mj["surfaces"], wavelength_nm
+        )
+        mstack = LensStack.from_pbrt_elements(
+            mrows, conic=mconics, aspheric=masp
+        )
+        # Rebase: rear microlens vertex sits at the sensor-offset plane.
+        vz = mstack.vertex_z
+        mstack = mstack.replace(
+            vertex_z=vz - vz.min() + microlens_sensor_offset_mm
+        )
+        offsets = mj.get("offsets") or None
+        if offsets:
+            offsets = jnp.asarray(np.asarray(offsets, np.float32))
+        micro = MicrolensArray(
+            stack=mstack,
+            dims=(int(mdims[0]), int(mdims[1])),
+            offset_from_sensor=float(microlens_sensor_offset_mm),
+            offsets=offsets,
+            sim_radius=int(sim_radius),
+        )
+    return stack, micro
+
+
 def biconvex_singlet(
     focal_mm: float = 50.0, aperture_mm: float = 12.5, eta: float = 1.5,
     film_distance_mm: float | None = None,
@@ -190,16 +381,16 @@ def biconvex_singlet(
 
 
 def omni_camera(
-    camera_to_world, resolution, lens: LensStack, film_diag_mm: float = 35.0
+    camera_to_world, resolution, lens: LensStack, film_diag_mm: float = 35.0,
+    microlens: MicrolensArray | None = None, diffraction: bool = False,
 ) -> RealisticCamera:
-    """OmniCamera = RealisticCamera over a conic-capable lens stack.
-
-    (The ISET Omni extensions beyond conics — microlens arrays, HURB
-    diffraction — are tracked for a later tier.)
-    """
+    """OmniCamera = RealisticCamera over a conic/aspheric lens stack, plus
+    the ISET extensions: microlens arrays and HURB diffraction."""
     return RealisticCamera(
         camera_to_world=camera_to_world,
         lens=lens,
         resolution=resolution,
         film_diag_mm=film_diag_mm,
+        microlens=microlens,
+        diffraction=diffraction,
     )

@@ -1227,23 +1227,44 @@ class PbrtParser:
         camera = PerspectiveCamera(
             camera_to_world=c2w, resolution=self.resolution, fov_deg=fov
         )
-        if self.camera_type == "realistic":
+        if self.camera_type in ("realistic", "omni"):
             lensfile = _get(self.camera_params, "lensfile")
             if lensfile:
                 from ..cameras.lens import load_lens_file
-                from ..cameras.realistic import RealisticCamera
+                from ..cameras.realistic import RealisticCamera, \
+                    load_lens_json
 
                 try:
-                    lens = load_lens_file(
-                        os.path.join(self.base_dir, lensfile)
+                    diffraction = bool(
+                        _get(self.camera_params, "diffractionEnabled", False)
                     )
+                    microlens = None
+                    path = os.path.join(self.base_dir, lensfile)
+                    if lensfile.endswith(".json"):
+                        # Omni .json lens (surfaces + optional microlens).
+                        lens, microlens = load_lens_json(
+                            path,
+                            microlens_sensor_offset_mm=float(_get(
+                                self.camera_params, "microlenssensoroffset",
+                                0.001,
+                            )) * 1000.0,  # pbrt takes meters; we keep mm
+                            sim_radius=int(_get(
+                                self.camera_params,
+                                "microlenssimulationradius", 0,
+                            )),
+                        )
+                    else:
+                        lens = load_lens_file(path)
                     camera = RealisticCamera.create(
                         camera_to_world=c2w, lens=lens,
                         resolution=self.resolution,
                         film_diag_mm=float(
                             _get(self.camera_params, "filmdiag", 35.0)
                         ),
-                    )
+                        # Pupil precompute doesn't apply with a microlens
+                        # relay (OmniCamera::BoundExitPupil early-out).
+                        exit_pupil=microlens is None,
+                    ).replace(microlens=microlens, diffraction=diffraction)
                     if _get(self.camera_params, "aperturediameter"):
                         self.warnings.append(
                             "aperturediameter override not applied; edit "
@@ -1256,7 +1277,8 @@ class PbrtParser:
                     )
             else:
                 self.warnings.append(
-                    "realistic camera without lensfile; using perspective"
+                    f"{self.camera_type} camera without lensfile; "
+                    "using perspective"
                 )
         elif self.camera_type != "perspective":
             self.warnings.append(

@@ -57,6 +57,11 @@ def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True,
         # Shutter-time sample (dim 5) drives camera motion blur.
         u_t = sampler.get_1d(pixel, sample_idx, 5)
         kw["time"] = camera.sample_time(u_t)
+    u_wl = sampler.get_1d(pixel, sample_idx, 4)
+    wl = spectrum.sample_visible(u_wl)
+    if getattr(camera, "diffraction", False):
+        # HURB needs the hero wavelength inside the lens trace.
+        kw["wavelength_nm"] = wl.hero
     out = camera.generate_rays(p_film, jnp.stack([ul0, ul1], axis=-1), **kw)
     if len(out) == 3:
         o, d, w = out
@@ -65,8 +70,6 @@ def camera_rays_full(camera, pixel, sample_idx, sampler, jitter: bool = True,
         w = jnp.ones_like(px)
     if w_filter is not None:
         w = w * w_filter
-    u_wl = sampler.get_1d(pixel, sample_idx, 4)
-    wl = spectrum.sample_visible(u_wl)
     return o, d, wl, w
 
 
