@@ -169,10 +169,14 @@ class PbrtParser:
     """Stateful scene builder (BasicSceneBuilder, scene.cpp:57-230)."""
 
     def __init__(self, base_dir="."):
+        from .buffercache import BufferCache
+
         self.base_dir = base_dir
         self.ctm = np.eye(4)
         self.stack = []
         self.named_ctm = {}
+        # Mesh-buffer dedup (BufferCache, util/buffercache.h).
+        self.buffer_cache = BufferCache()
         # graphics state
         self.cur_material = 0
         self.cur_area_light = None
@@ -961,15 +965,19 @@ class PbrtParser:
         stype = ts.next()[1:-1]
         p = _parse_params(ts)
         if stype == "trianglemesh":
-            pts = _get_vec(p, "P").reshape(-1, 3)
-            idx = np.asarray(p["indices"][1], np.int64).reshape(-1, 3)
+            pts = self.buffer_cache.canonical(
+                _get_vec(p, "P").reshape(-1, 3)
+            )
+            idx = self.buffer_cache.canonical(
+                np.asarray(p["indices"][1], np.int64).reshape(-1, 3)
+            )
             world = self._pts(pts)
             tris = world[idx]
         elif stype == "plymesh":
-            from .ply import read_ply
-
             fn = _get(p, "filename")
-            verts, faces = read_ply(os.path.join(self.base_dir, fn))
+            verts, faces = self.buffer_cache.read_ply(
+                os.path.join(self.base_dir, fn)
+            )
             world = self._pts(verts)
             tris = world[faces]
         elif stype == "sphere":
@@ -1168,6 +1176,7 @@ class PbrtParser:
 
     def build(self):
         """Returns (scene, camera, settings dict)."""
+        self.buffer_cache.report_stats()
         geom = GeometryBuffers.build(
             tri_verts=np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
             tri_mat=np.asarray(self.tri_mat, np.int32),
