@@ -197,6 +197,13 @@ class PbrtParser:
         self.named_tex = {}
         self.named_media = {}
         self.scene_medium = None
+        # Interior-media stack (per-shape MediumInterface): homogeneous
+        # named media become MediumStack entries addressed by index.
+        self.media_specs = []
+        self.named_media_idx = {}
+        self.cur_interface = None  # (inside_idx, outside_idx) or None
+        self._interface_mat_cache = {}
+        self.any_interface = False
         self.area_lights = []
         self.points = []
         self.spots = []
@@ -354,13 +361,12 @@ class PbrtParser:
     def _d_AttributeBegin(self, ts):
         self.stack.append(
             (self.ctm.copy(), self.cur_material, self.cur_area_light,
-             self.reverse)
+             self.reverse, self.cur_interface)
         )
 
     def _d_AttributeEnd(self, ts):
-        self.ctm, self.cur_material, self.cur_area_light, self.reverse = (
-            self.stack.pop()
-        )
+        (self.ctm, self.cur_material, self.cur_area_light, self.reverse,
+         self.cur_interface) = self.stack.pop()
 
     _d_TransformBegin = _d_AttributeBegin
     _d_TransformEnd = _d_AttributeEnd
@@ -856,6 +862,15 @@ class PbrtParser:
             med = MediumBuffers.homogeneous(
                 sa, ss, blo, bhi, g=g, scale=scale
             )
+            # Homogeneous media without explicit p0/p1 (real pbrt has none
+            # on homogeneous) are shape-bounded interior media, addressable
+            # through per-shape MediumInterface; explicit bounds keep the
+            # scene-level AABB binding (this build's legacy extension).
+            if p0 is None and p1 is None:
+                self.named_media_idx[name] = len(self.media_specs)
+                self.media_specs.append(
+                    {"sigma_a": sa, "sigma_s": ss, "g": g, "scale": scale}
+                )
         elif mtype in ("uniformgrid", "grid"):
             dens = _get_vec(p, "density")
             nx = int(_get(p, "nx", 1))
@@ -899,21 +914,67 @@ class PbrtParser:
         self.named_media[name] = med
 
     def _d_MediumInterface(self, ts):
-        """MediumInterface "inside" "outside": binds the SCENE-LEVEL medium
-        (one medium per scene in this tier; per-shape nested interfaces are
-        the documented next step). The inside name wins; "" clears."""
+        """MediumInterface "inside" "outside" (graphics-state directive,
+        scene.cpp MediumInterface handling).
+
+        Homogeneous named media attach PER SHAPE: subsequent shapes in this
+        attribute scope carry (inside, outside) interior-medium indices, and
+        rays switch on transmission (MediumStack in the integrator). Grid /
+        rgbgrid media keep the scene-level AABB binding (they are
+        bounds-shaped already). "" means vacuum."""
         inside = ts.next()[1:-1]
+        outside = ""
         if ts.peek() and ts.peek().startswith('"'):
-            ts.next()  # outside medium (ignored at scene level)
-        if inside:
-            if inside in self.named_media:
-                if self.scene_medium is not None:
-                    self.warnings.append(
-                        "multiple MediumInterface bindings; last one wins"
-                    )
-                self.scene_medium = self.named_media[inside]
-            else:
-                self.warnings.append(f"medium '{inside}' not defined")
+            outside = ts.next()[1:-1]
+
+        def resolve(nm):
+            from ..media.medium import MED_VACUUM
+
+            if not nm:
+                return MED_VACUUM
+            if nm in self.named_media_idx:
+                return self.named_media_idx[nm]
+            if nm in self.named_media:
+                return None  # grid medium: scene-level path
+            self.warnings.append(f"medium '{nm}' not defined")
+            return MED_VACUUM
+
+        in_idx = resolve(inside)
+        out_idx = resolve(outside)
+        if in_idx is None or out_idx is None:
+            # Grid medium referenced: legacy scene-level binding.
+            name = inside if in_idx is None else outside
+            if self.scene_medium is not None:
+                self.warnings.append(
+                    "multiple scene-level MediumInterface bindings; "
+                    "last one wins"
+                )
+            self.scene_medium = self.named_media[name]
+            return
+        self.cur_interface = (in_idx, out_idx)
+
+    def _interfaced_material(self):
+        """Effective material for shapes under the current MediumInterface:
+        the graphics-state material cloned with (inside, outside) indices
+        (per-primitive MediumInterface in the reference; cached per
+        (material, interface) pair)."""
+        from ..media.medium import MED_VACUUM
+
+        iface = self.cur_interface
+        if iface is None or iface == (MED_VACUUM, MED_VACUUM):
+            return self.cur_material
+        key = (self.cur_material, iface)
+        hit = self._interface_mat_cache.get(key)
+        if hit is not None:
+            return hit
+        mat = dict(self.materials[self.cur_material])
+        mat["med_inside"] = iface[0]
+        mat["med_outside"] = iface[1]
+        idx = len(self.materials)
+        self.materials.append(mat)
+        self._interface_mat_cache[key] = idx
+        self.any_interface = True
+        return idx
 
     # -- shapes --------------------------------------------------------------
 
@@ -962,6 +1023,14 @@ class PbrtParser:
             self.tri_light.append(-1)
 
     def _d_Shape(self, ts):
+        mat_save = self.cur_material
+        self.cur_material = self._interfaced_material()
+        try:
+            self._shape_inner(ts)
+        finally:
+            self.cur_material = mat_save
+
+    def _shape_inner(self, ts):
         stype = ts.next()[1:-1]
         p = _parse_params(ts)
         if stype == "trianglemesh":
@@ -1224,9 +1293,14 @@ class PbrtParser:
             from ..textures.buffers import TextureBuffers
 
             textures = TextureBuffers.build(self.tex_specs)
+        media_stack = None
+        if self.any_interface and self.media_specs:
+            from ..media.medium import MediumStack
+
+            media_stack = MediumStack.build(self.media_specs)
         scene = Scene(
             geom=geom, materials=materials, lights=lights, textures=textures,
-            medium=self.scene_medium,
+            medium=self.scene_medium, media_stack=media_stack,
         )
         scene = scene.with_accel()
 
@@ -1337,7 +1411,9 @@ class PbrtParser:
             )
         else:
             integ_cls = integ_map.get(self.integrator, PathIntegrator)
-            if self.scene_medium is not None and integ_cls is PathIntegrator:
+            has_media = (self.scene_medium is not None
+                         or media_stack is not None)
+            if has_media and integ_cls is PathIntegrator:
                 # Media need the null-scattering walk; pbrt errors, we
                 # upgrade (render.cpp checks integrator/media compat).
                 integ_cls = VolPathIntegrator

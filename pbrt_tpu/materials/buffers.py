@@ -83,6 +83,12 @@ class MaterialBuffers:
     # unbounded-spectrum fits, (Mm, N_TH, N_TD, N_PD, 3) / (Mm, ...).
     measured_coeffs: jnp.ndarray
     measured_scale: jnp.ndarray
+    # Per-material MediumInterface (media.h:55-80): index into the scene's
+    # MediumStack for the medium on each side of surfaces using this
+    # material. -2 = no interface (crossing keeps the ray's medium),
+    # -1 = vacuum, >= 0 = stack index.
+    med_inside: jnp.ndarray  # (M,) int32
+    med_outside: jnp.ndarray  # (M,) int32
     any_conductor: bool = static_field(default=False)
     any_dielectric: bool = static_field(default=False)
     any_thin: bool = static_field(default=False)
@@ -133,6 +139,8 @@ class MaterialBuffers:
             mix_m0.append(m.get("mix_m0", 0))
             mix_m1.append(m.get("mix_m1", 0))
             mix_amount.append(m.get("mix_amount", 0.5))
+        med_in = [m.get("med_inside", -2) for m in materials]
+        med_out = [m.get("med_outside", -2) for m in materials]
         coeffs = rgb2spec.fit_albedo(jnp.asarray(albedos, jnp.float32))
         ce, ces = rgb2spec.fit_unbounded(jnp.asarray(c_eta, jnp.float32))
         ck, cks = rgb2spec.fit_unbounded(jnp.asarray(c_k, jnp.float32))
@@ -180,6 +188,8 @@ class MaterialBuffers:
             mix_m0=jnp.asarray(mix_m0, jnp.int32),
             mix_m1=jnp.asarray(mix_m1, jnp.int32),
             mix_amount=jnp.asarray(mix_amount, jnp.float32),
+            med_inside=jnp.asarray(med_in, jnp.int32),
+            med_outside=jnp.asarray(med_out, jnp.int32),
             **_measured_stack(meas_tables),
         )
 

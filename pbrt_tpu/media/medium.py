@@ -24,6 +24,76 @@ MEDIUM_HOMOGENEOUS = "homogeneous"
 MEDIUM_GRID = "grid"
 MEDIUM_RGBGRID = "rgbgrid"
 
+# med_inside/med_outside sentinel values (per-material interface fields).
+MED_KEEP = -2  # no interface on this surface: crossing keeps the ray medium
+MED_VACUUM = -1
+
+
+@pytree
+class MediumStack:
+    """Named homogeneous interior media addressed by a per-ray index.
+
+    Reference analogue: per-primitive MediumInterface (media.h:55-80 +
+    cpu/integrators.cpp VolPathIntegrator ray.medium threading): each
+    dielectric-bounded shape can carry an interior medium; rays switch
+    medium on transmission. TPU design: all interior media live in one
+    (M, ...) SOA; the integrator carries an (N,) medium index and gathers
+    spectral coefficients per ray — homogeneous media then admit
+    closed-form free-flight sampling (no majorant walk). Shape-bounded (not
+    AABB-bounded): a ray's segment inside the medium always ends at the
+    next surface hit.
+    """
+
+    sigma_a_coeffs: jnp.ndarray  # (M, 3)
+    sigma_a_scale: jnp.ndarray  # (M,)
+    sigma_s_coeffs: jnp.ndarray  # (M, 3)
+    sigma_s_scale: jnp.ndarray  # (M,)
+    g: jnp.ndarray  # (M,) HG asymmetry
+
+    @staticmethod
+    def build(specs) -> "MediumStack":
+        """specs: list of dicts {sigma_a, sigma_s (rgb), g, scale}."""
+        sa = jnp.asarray(
+            [np.asarray(s.get("sigma_a", (1, 1, 1)), np.float32)
+             * s.get("scale", 1.0) for s in specs], jnp.float32
+        )
+        ss = jnp.asarray(
+            [np.asarray(s.get("sigma_s", (1, 1, 1)), np.float32)
+             * s.get("scale", 1.0) for s in specs], jnp.float32
+        )
+        sa_c, sa_s = rgb2spec.fit_unbounded(sa)
+        ss_c, ss_s = rgb2spec.fit_unbounded(ss)
+        return MediumStack(
+            sigma_a_coeffs=sa_c, sigma_a_scale=sa_s,
+            sigma_s_coeffs=ss_c, sigma_s_scale=ss_s,
+            g=jnp.asarray([s.get("g", 0.0) for s in specs], jnp.float32),
+        )
+
+    @property
+    def n_media(self) -> int:
+        return self.g.shape[0]
+
+    def sigma_at_idx(self, idx, lam):
+        """(sigma_a, sigma_s) spectra (N, S) for per-ray medium index idx;
+        zero where idx < 0 (vacuum / no medium)."""
+        from ..core.gather import gather_rows
+
+        safe = jnp.clip(idx, 0, self.n_media - 1)
+        sa_c = gather_rows(self.sigma_a_coeffs, safe)
+        sa_s = gather_rows(self.sigma_a_scale, safe)
+        ss_c = gather_rows(self.sigma_s_coeffs, safe)
+        ss_s = gather_rows(self.sigma_s_scale, safe)
+        inside = (idx >= 0)[..., None]
+        sa = jnp.where(inside, rgb2spec.eval_unbounded(sa_c, sa_s, lam), 0.0)
+        ss = jnp.where(inside, rgb2spec.eval_unbounded(ss_c, ss_s, lam), 0.0)
+        return sa, ss
+
+    def g_at(self, idx):
+        from ..core.gather import gather_rows
+
+        safe = jnp.clip(idx, 0, self.n_media - 1)
+        return jnp.where(idx >= 0, gather_rows(self.g, safe), 0.0)
+
 
 def _pool_dilate_max(vox, m):
     """Max-pool a (nz, ny, nx) voxel field onto m^3 cells + 1-cell dilation

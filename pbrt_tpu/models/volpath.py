@@ -149,7 +149,10 @@ class VolPathIntegrator:
         s = wl.lam.shape[-1]
         lam = wl.lam
         med = scene.medium
+        stack = getattr(scene, "media_stack", None)
         have_medium = med is not None and not med.is_none
+        have_stack = stack is not None
+        have_any_medium = have_medium or have_stack
         have_lights = scene.lights.n_lights > 0
 
         init = {
@@ -162,6 +165,10 @@ class VolPathIntegrator:
             "specular": jnp.ones((n,), bool),
             "prev_p": o,
             "prev_ns": jnp.zeros((n, 3), o.dtype),
+            # Per-ray interior-medium index (MediumStack; -1 = vacuum).
+            # Rays switch on transmission through interfaced surfaces —
+            # the ray.medium threading of VolPathIntegrator.
+            "med": jnp.full((n,), -1, jnp.int32),
             "rays": jnp.zeros((), jnp.float32),
         }
 
@@ -268,6 +275,10 @@ class VolPathIntegrator:
                     return it + 1, t, beta_w, status, walking
 
                 walking0 = active & (t1 > t0)
+                if have_stack:
+                    # Rays inside a named interior medium take the
+                    # closed-form step below, not the global AABB walk.
+                    walking0 = walking0 & (carry["med"] < 0)
                 if not use_dda:
                     walking0 = walking0 & (sigma_maj > 0.0)
                 _, t_event, beta, status, _ = self._loop(
@@ -294,6 +305,46 @@ class VolPathIntegrator:
                 scattered = jnp.zeros((n,), bool)
                 absorbed = jnp.zeros((n,), bool)
                 p_med = o
+
+            # ---- Interior-media interaction (MediumStack): homogeneous
+            # shape-bounded media admit exact closed-form free-flight
+            # sampling on the hero wavelength — no majorant walk. The
+            # segment always ends at the next surface (the boundary shape).
+            med_idx = carry["med"]
+            if have_stack:
+                in_named = active & (med_idx >= 0)
+                sa_nm, ss_nm = stack.sigma_at_idx(med_idx, lam)  # (N, S)
+                st_nm = sa_nm + ss_nm
+                st_hero = st_nm[..., 0]
+                u_t = sampler.get_1d(pixel, sample_idx, dim0 + 30)
+                u_e = sampler.get_1d(pixel, sample_idx, dim0 + 31)
+                dist_seg = jnp.where(isect.valid, isect.t, _BIG)
+                t_s = -jnp.log(jnp.maximum(1.0 - u_t, 1e-20)) / jnp.maximum(
+                    st_hero, 1e-20
+                )
+                interact_n = in_named & (st_hero > 0.0) & (t_s < dist_seg)
+                # Event split by the hero single-scattering albedo.
+                p_sc = ss_nm[..., 0] / jnp.maximum(st_hero, 1e-20)
+                scatter_n = interact_n & (u_e < p_sc)
+                absorb_n = interact_n & ~scatter_n
+                # Spectral lane reweighting against the hero pdf:
+                #   interact: pdf = sigma_t_h exp(-sigma_t_h t)
+                #   pass:     P   = exp(-sigma_t_h dist)
+                t_used = jnp.minimum(t_s, dist_seg)
+                atten = jnp.exp(
+                    -(st_nm - st_hero[..., None]) * t_used[..., None]
+                )  # exp(-sigma_l t)/exp(-sigma_h t); hero lane == 1
+                w_scat_n = atten * ss_nm / jnp.maximum(ss_nm[..., 0:1], 1e-20)
+                beta = jnp.where(scatter_n[..., None], beta * w_scat_n, beta)
+                passed_n = in_named & ~interact_n
+                beta = jnp.where(passed_n[..., None], beta * atten, beta)
+                scattered = scattered | scatter_n
+                absorbed = absorbed | absorb_n
+                p_med = jnp.where(
+                    scatter_n[..., None], o + t_s[..., None] * d, p_med
+                )
+            else:
+                in_named = jnp.zeros((n,), bool)
 
             reach_surface = active & ~scattered & ~absorbed
 
@@ -336,19 +387,38 @@ class VolPathIntegrator:
                     0.0,
                 )
 
+            # Per-ray phase asymmetry: interior media override the global
+            # medium's g where the ray is inside one.
+            if have_any_medium:
+                g_eff = (med.g if have_medium
+                         else jnp.zeros((), jnp.float32))
+                g_eff = jnp.broadcast_to(g_eff, (n,))
+                if have_stack:
+                    g_eff = jnp.where(in_named, stack.g_at(med_idx), g_eff)
+
             # ---- NEE from medium scatter points.
-            if self.use_nee and have_lights and have_medium:
+            if self.use_nee and have_lights and have_any_medium:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
                 up = sampler.get_2d(pixel, sample_idx, dim0 + 1)
                 ls = scene.lights.sample_li(
                     p_med, lam, u_sel, jnp.stack(up, axis=-1)
                 )
                 wo_med = -d
-                p_phase = ph.hg_pdf(wo_med, ls.wi, med.g)
+                p_phase = ph.hg_pdf(wo_med, ls.wi, g_eff)
                 tr = self._transmittance(
                     scene, p_med, ls.wi, ls.dist, lam, pixel, sample_idx,
                     sampler, dim0 + 200,
                 )
+                if have_stack:
+                    # Shadow rays from inside an interior medium attenuate
+                    # by that medium; any boundary crossing is an occluder
+                    # (dielectric boundaries block NEE in pbrt too), so the
+                    # full-distance factor is exact for unoccluded rays.
+                    d_sh = jnp.where(
+                        jnp.isfinite(ls.dist), ls.dist, _BIG
+                    )
+                    tr_named = jnp.exp(-st_nm * d_sh[..., None])
+                    tr = tr * jnp.where(in_named[..., None], tr_named, 1.0)
                 w_nee = jnp.where(
                     ls.is_delta,
                     1.0,
@@ -368,9 +438,9 @@ class VolPathIntegrator:
                 n_rays = n_rays + jnp.sum(ok.astype(jnp.float32))
 
             # ---- Phase-function sampling for scattered rays.
-            if have_medium:
+            if have_any_medium:
                 u_ph = sampler.get_2d(pixel, sample_idx, dim0 + 5)
-                wi_med, pdf_ph = ph.hg_sample(-d, jnp.stack(u_ph, -1), med.g)
+                wi_med, pdf_ph = ph.hg_sample(-d, jnp.stack(u_ph, -1), g_eff)
                 # f/pdf == 1 for a sampled phase function.
             else:
                 wi_med = d
@@ -387,6 +457,12 @@ class VolPathIntegrator:
             t1f, t2f = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1f, t2f, ns)
             params = bxdf.surface_params(scene, isect, lam)
+            if have_stack:
+                from ..core.gather import gather_rows
+                from ..media.medium import MED_KEEP
+
+                gi_mat = gather_rows(scene.materials.med_inside, isect.mat)
+                go_mat = gather_rows(scene.materials.med_outside, isect.mat)
 
             if self.use_nee and have_lights:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 6)
@@ -411,6 +487,19 @@ class VolPathIntegrator:
                     scene, so, ls.wi, ls.dist, lam, pixel, sample_idx,
                     sampler, dim0 + 300,
                 )
+                if have_stack:
+                    # The shadow ray starts in the medium on its own side
+                    # of the surface (pbrt's si.SkipIntersection medium
+                    # selection): inside-medium toward the interior,
+                    # outside otherwise; MED_KEEP inherits the ray medium.
+                    side = jnp.where(
+                        dot(ls.wi, isect.n) < 0.0, gi_mat, go_mat
+                    )
+                    side = jnp.where(side == MED_KEEP, med_idx, side)
+                    sa_sd, ss_sd = stack.sigma_at_idx(side, lam)
+                    d_sh = jnp.where(jnp.isfinite(ls.dist), ls.dist, _BIG)
+                    tr_sd = jnp.exp(-(sa_sd + ss_sd) * d_sh[..., None])
+                    tr = tr * jnp.where((side >= 0)[..., None], tr_sd, 1.0)
                 contrib = (
                     beta
                     * f_nee
@@ -452,6 +541,21 @@ class VolPathIntegrator:
                 jnp.where(surf_ok, bs["specular"], carry["specular"]),
             )
 
+            # ---- Medium switch on transmission (ray.medium threading):
+            # crossing to the far side of an interfaced surface adopts that
+            # side's medium; the shape's outward orientation (winding /
+            # outward quadric normal) defines inside vs outside, as in the
+            # reference's MediumInterface convention.
+            if have_stack:
+                transmitted = surf_ok & (bs["wi"][..., 2] < 0.0)
+                entering = dot(wi_w, isect.n) < 0.0
+                tgt_med = jnp.where(entering, gi_mat, go_mat)
+                med_next = jnp.where(
+                    transmitted & (tgt_med != MED_KEEP), tgt_med, med_idx
+                )
+            else:
+                med_next = med_idx
+
             carry_out = {
                 "o": jnp.where(next_active[..., None], o_new, o),
                 "d": jnp.where(next_active[..., None], d_new, d),
@@ -469,6 +573,7 @@ class VolPathIntegrator:
                     (next_active & ~scattered)[..., None], ns,
                     jnp.where(next_active[..., None], 0.0, carry["prev_ns"]),
                 ),
+                "med": med_next,
                 "rays": n_rays,
             }
 

@@ -25,6 +25,10 @@ class Scene:
     lights: LightBuffers
     # Scene-level participating medium (None == vacuum everywhere).
     medium: Optional[MediumBuffers] = None
+    # Shape-bounded interior media (media.MediumStack); rays switch via
+    # per-material med_inside/med_outside on transmission (the per-shape
+    # MediumInterface tier; media.h:55-80).
+    media_stack: Optional[object] = None
     # Optional texture tables (textures.TextureBuffers).
     textures: Optional[object] = None
     # Optional triangle BVH (accel.bvh.BVH); None routes to the dense tester.
