@@ -440,6 +440,13 @@ class PbrtParser:
                     tuple(m_) if m_ is not None and len(np.atleast_1d(m_)) == 3
                     else ((float(m_),) * 3 if m_ is not None else (0.2,) * 3)
                 )
+        elif mtype in ("none", "interface", ""):
+            # Material "" / "none": a pure media boundary — rays pass
+            # straight through, switching media (scene.cpp material-less
+            # shapes + MediumInterface).
+            from ..materials.buffers import MAT_INTERFACE
+
+            spec["kind"] = MAT_INTERFACE
         elif mtype == "diffusetransmission":
             spec["kind"] = MAT_DIFFUSETRANS
             # Reference defaults reflectance/transmittance to 0.25

@@ -30,6 +30,9 @@ MAT_SUBSURFACE = 8
 MAT_MEASURED = 9
 MAT_MIX = 10
 MAT_RETRO = 11
+# Material-less boundary (pbrt Material "" / "none"): rays pass straight
+# through, only switching media (interface.h MediumInterface shapes).
+MAT_INTERFACE = 12
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.
@@ -99,6 +102,7 @@ class MaterialBuffers:
     any_measured: bool = static_field(default=False)
     any_mix: bool = static_field(default=False)
     any_retro: bool = static_field(default=False)
+    any_interface_mat: bool = static_field(default=False)
 
     @staticmethod
     def build(materials) -> "MaterialBuffers":
@@ -184,6 +188,7 @@ class MaterialBuffers:
             any_measured=any(k == MAT_MEASURED for k in kinds),
             any_mix=any(k == MAT_MIX for k in kinds),
             any_retro=any(k == MAT_RETRO for k in kinds),
+            any_interface_mat=any(k == MAT_INTERFACE for k in kinds),
             measured_idx=jnp.asarray(meas_idx, jnp.int32),
             mix_m0=jnp.asarray(mix_m0, jnp.int32),
             mix_m1=jnp.asarray(mix_m1, jnp.int32),
@@ -257,4 +262,5 @@ class MaterialBuffers:
             "any_measured": self.any_measured,
             "any_mix": self.any_mix,
             "any_retro": self.any_retro,
+            "any_interface_mat": self.any_interface_mat,
         }

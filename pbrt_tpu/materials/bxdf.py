@@ -760,4 +760,19 @@ def sample(params, wo, lam, u2, uc):
         p = jnp.where(m, p_t, p)
         specular = specular | m
 
+    if params.get("any_interface_mat"):
+        # Material-less boundary (Material "none"): the ray continues
+        # straight through with unit throughput — wi = -wo, f chosen so
+        # f * |cos| / pdf == 1 (pbrt skips the intersection entirely;
+        # here it is a delta "transmission" so media can switch).
+        from .buffers import MAT_INTERFACE
+
+        m = kind == MAT_INTERFACE
+        wi_i = -wo
+        f_i = 1.0 / jnp.maximum(jnp.abs(wo[..., 2:3]), 1e-4)
+        wi = jnp.where(m[..., None], wi_i, wi)
+        f = jnp.where(m[..., None], f_i, f)
+        p = jnp.where(m, 1.0, p)
+        specular = specular | m
+
     return {"wi": wi, "f": f, "pdf": p, "specular": specular}

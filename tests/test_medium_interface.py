@@ -130,6 +130,32 @@ def test_nested_media_switching(tmp_path):
     assert abs(ratio - np.exp(-1.5)) < 0.05, (ratio, np.exp(-1.5))
 
 
+_NONE_SPHERE = (
+    "AttributeBegin\n"
+    '  MediumInterface "ink" ""\n'
+    '  Material "none"\n'
+    '  Shape "sphere" "float radius" 0.5\n'
+    "AttributeEnd\n"
+)
+
+
+def test_interface_material_passthrough(tmp_path):
+    """Material "none" boundaries: rays pass straight through with unit
+    throughput, only switching media — same Beer-Lambert gate as the
+    eta=1 dielectric."""
+    l_med, scene = _center_radiance(
+        _scene_text(_NONE_SPHERE), tmp_path, "none_ink"
+    )
+    l_ref, _ = _center_radiance(_scene_text(""), tmp_path, "empty4")
+    from pbrt_tpu.materials.buffers import MAT_INTERFACE
+
+    assert (np.asarray(scene.materials.kind) == MAT_INTERFACE).any()
+    ratio = l_med / l_ref
+    assert abs(ratio - np.exp(-2.0)) < 0.03, (ratio, np.exp(-2.0))
+    # A corner pixel missing the sphere is unattenuated.
+    # (radius 0.5 sphere subtends ~9.5 deg < the 10 deg half-fov diagonal)
+
+
 def test_scattering_interior_finite_and_dimmer(tmp_path):
     """A scattering interior (sigma_s > 0) stays finite/non-negative and
     extinguishes the direct view more than vacuum."""
