@@ -486,17 +486,24 @@ class PbrtParser:
                     "diffuse fallback"
                 )
         elif mtype == "measured":
-            # MeasuredBxDF (bxdfs.h:1155): tabulated reflectance data. The
-            # native format here is an .npy (N_TH, N_TD, N_PD, 3) table
-            # (materials/measured.py; bake_measured converts analytic or
-            # external data into it).
+            # MeasuredBxDF (bxdfs.h:1155): tabulated reflectance data.
+            # RGL .bsdf files load through the exact Dupuy-Jakob evaluator
+            # and bake into the renderer's half-angle table
+            # (materials/rgl.py); .npy loads a prebaked
+            # (N_TH, N_TD, N_PD, 3) table directly.
             from ..materials.buffers import MAT_MEASURED
 
             fname = _get(p, "filename")
             tab = None
             if fname:
                 try:
-                    tab = np.load(os.path.join(self.base_dir, fname))
+                    path = os.path.join(self.base_dir, fname)
+                    if fname.endswith(".bsdf"):
+                        from ..materials.rgl import bake_rgl
+
+                        tab = bake_rgl(path)
+                    else:
+                        tab = np.load(path)
                 except Exception as e:
                     self.warnings.append(f"measured '{fname}': {e}")
             if tab is None:
