@@ -902,6 +902,14 @@ class PbrtParser:
                 le_rgb=tuple(le) if le is not None else None,
                 le_scale=float(_get(p, "Lescale", 1.0)),
             )
+        elif mtype == "cloud":
+            # Procedural cloud (CloudMedium, media.h:430).
+            med = MediumBuffers.cloud(
+                sa, ss, blo, bhi, g=g, scale=scale,
+                density=float(_get(p, "density", 1.0)),
+                wispiness=float(_get(p, "wispiness", 1.0)),
+                frequency=float(_get(p, "frequency", 5.0)),
+            )
         elif mtype == "rgbgrid":
             nx = int(_get(p, "nx", 1))
             ny = int(_get(p, "ny", 1))

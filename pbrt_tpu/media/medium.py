@@ -23,6 +23,7 @@ MEDIUM_NONE = "none"
 MEDIUM_HOMOGENEOUS = "homogeneous"
 MEDIUM_GRID = "grid"
 MEDIUM_RGBGRID = "rgbgrid"
+MEDIUM_CLOUD = "cloud"
 
 # med_inside/med_outside sentinel values (per-material interface fields).
 MED_KEEP = -2  # no interface on this surface: crossing keeps the ray medium
@@ -156,6 +157,9 @@ class MediumBuffers:
     # Global density maximum (scalar) — the wavelength-independent majorant
     # is sigma_t_max * max_density.
     max_density: jnp.ndarray
+    # Procedural cloud parameters [density, wispiness, frequency]
+    # (CloudMedium, media.h:430; kind == cloud).
+    cloud_params: object = None
     kind: str = static_field(default=MEDIUM_NONE)
 
     @staticmethod
@@ -279,6 +283,25 @@ class MediumBuffers:
             kind=MEDIUM_RGBGRID,
         )
 
+    @staticmethod
+    def cloud(
+        sigma_a_rgb, sigma_s_rgb, bounds_lo, bounds_hi, g=0.0, scale=1.0,
+        density: float = 1.0, wispiness: float = 1.0, frequency: float = 5.0,
+    ) -> "MediumBuffers":
+        """Procedural cloud (CloudMedium, media.h:430): multi-octave Perlin
+        density with noise-perturbed ("wispy") lookup points, decreasing
+        with altitude. Density is clamped to [0, 1], so the homogeneous
+        majorant (max sigma_t) is exact."""
+        base = MediumBuffers.homogeneous(
+            sigma_a_rgb, sigma_s_rgb, bounds_lo, bounds_hi, g=g, scale=scale
+        )
+        return base.replace(
+            cloud_params=jnp.asarray(
+                [density, wispiness, frequency], jnp.float32
+            ),
+            kind=MEDIUM_CLOUD,
+        )
+
     # -- device-side queries (batched over rays) ----------------------------
 
     @property
@@ -338,8 +361,51 @@ class MediumBuffers:
             inside = inside[..., None]
         return jnp.where(inside, out, 0.0)
 
+    def _cloud_density(self, p):
+        """Procedural cloud density in [0, 1] (CloudMedium::Density,
+        media.h:478-510): 5-octave Perlin stack at noise-perturbed lookup
+        points, modulated to fall off with altitude (y in medium space).
+        DNoise's vector perturbation is emulated with three decorrelated
+        scalar-noise taps."""
+        from ..core.noise import perlin
+
+        dens = self.cloud_params[0]
+        wisp = self.cloud_params[1]
+        freq = self.cloud_params[2]
+        q = (p - self.bounds_lo[None]) / jnp.maximum(
+            self.bounds_hi[None] - self.bounds_lo[None], 1e-12
+        )
+        inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+        pp = freq[..., None] * q
+        vomega, vlambda = 0.05 * wisp, 10.0
+        offs = jnp.asarray(
+            [[31.416, 0.0, 0.0], [0.0, 27.183, 0.0], [0.0, 0.0, 14.142]],
+            jnp.float32,
+        )
+        for _ in range(2):
+            dn = jnp.stack(
+                [perlin(vlambda * pp + offs[k][None]) for k in range(3)],
+                axis=-1,
+            )
+            pp = pp + vomega * dn
+            vomega = vomega * 0.5
+            vlambda = vlambda * 1.99
+        d = jnp.zeros(p.shape[:-1], p.dtype)
+        omega, lam_s = 0.5, 1.0
+        for _ in range(5):
+            d = d + omega * perlin(lam_s * pp)
+            omega *= 0.5
+            lam_s *= 1.99
+        y = q[..., 1]
+        d = jnp.clip((1.0 - y) * 4.5 * dens * d, 0.0, 1.0)
+        d = d + 2.0 * jnp.maximum(0.0, 0.5 - y)
+        return jnp.where(inside, jnp.clip(d, 0.0, 1.0), 0.0)
+
     def density_at(self, p):
-        """Trilinear density lookup at world points p: (N,) in [0, max]."""
+        """Density lookup at world points p: (N,) in [0, max] — trilinear
+        for grids, procedural for clouds, 1 inside homogeneous bounds."""
+        if self.kind == MEDIUM_CLOUD:
+            return self._cloud_density(p)
         if self.kind != MEDIUM_GRID:
             return jnp.ones(p.shape[:-1], p.dtype)
         return self._trilinear(self.density, p)

@@ -343,3 +343,58 @@ def test_rgbgrid_chromatic_transmittance_render():
     want = np.asarray(spectrum_to_rgb(jnp.exp(-sa_h), wl)).mean(0)
     np.testing.assert_allclose(got, want, atol=0.05)
     assert got[2] > got[0] + 0.2  # blue passes, red blocked
+
+
+def test_cloud_medium(tmp_path):
+    """Procedural CloudMedium (media.h:430): density in [0, 1], varies in
+    space, falls off with altitude; renders finite through volpath."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.media.medium import MediumBuffers
+
+    med = MediumBuffers.cloud(
+        (0.2, 0.2, 0.2), (0.8, 0.8, 0.8), (-1, 0, -1), (1, 2, 1),
+        density=1.0, wispiness=1.0, frequency=5.0,
+    )
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(
+        rng.uniform(-1, 1, (512, 3)) * [1, 0, 1] + [0, 0, 0]
+        + rng.uniform(0, 2, (512, 3)) * [0, 1, 0], jnp.float32
+    )
+    d = np.asarray(med.density_at(p))
+    assert (d >= 0).all() and (d <= 1).all()
+    assert d.std() > 0.01  # spatial variation
+    # Low altitude (y < 0.5 in medium space => y < 1 world) is denser on
+    # average than cloud tops.
+    y = np.asarray(p[:, 1])
+    assert d[y < 0.6].mean() > d[y > 1.6].mean()
+    # Outside the bounds: zero.
+    p_out = jnp.asarray([[0.0, 5.0, 0.0], [3.0, 1.0, 0.0]], jnp.float32)
+    assert np.asarray(med.density_at(p_out)).max() == 0.0
+    # Parser binding + a tiny render.
+    scene_file = tmp_path / "cloud.pbrt"
+    scene_file.write_text(
+        'Integrator "volpath" "integer maxdepth" 4\n'
+        'Film "rgb" "integer xresolution" 6 "integer yresolution" 6\n'
+        "LookAt 0 1 -4  0 1 0  0 1 0\n"
+        'Camera "perspective" "float fov" 40\n'
+        "WorldBegin\n"
+        'MakeNamedMedium "sky" "string type" "cloud" '
+        '"rgb sigma_a" [0.1 0.1 0.1] "rgb sigma_s" [1 1 1] '
+        '"point3 p0" [-1 0 -1] "point3 p1" [1 2 1]\n'
+        'MediumInterface "sky" ""\n'
+        'AttributeBegin\n'
+        '  AreaLightSource "diffuse" "rgb L" [8 8 8]\n'
+        '  Shape "trianglemesh" "point3 P" [-3 -3 3  3 -3 3  3 3 3  -3 3 3] '
+        '"integer indices" [0 2 1 0 3 2]\n'
+        "AttributeEnd\n"
+    )
+    from pbrt_tpu.io.parser import load_pbrt
+    from pbrt_tpu.render import render
+
+    scene, camera, settings = load_pbrt(str(scene_file))
+    assert scene.medium is not None and scene.medium.kind == "cloud"
+    img = np.asarray(render(
+        scene, camera, settings["integrator"], spp=8, samples_per_pass=4
+    ))
+    assert np.isfinite(img).all() and img.mean() > 0
