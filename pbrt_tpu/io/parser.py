@@ -189,6 +189,8 @@ class PbrtParser:
         self.tri_light = []
         self.spheres = []
         self.sph_mat = []
+        self.sph_light = []  # per-sphere index into sphere_lights (-1 none)
+        self.sphere_lights = []  # emissive analytic spheres: c, r, rgb, ...
         self.curves = []
         self.disks = []
         self.cyls = []
@@ -1077,15 +1079,29 @@ class PbrtParser:
             # Uniform scale assumed for spheres (pbrt requires this too).
             sc = np.linalg.norm(self.ctm[:3, 0])
             if self.cur_area_light is not None:
-                # Emissive spheres become icosphere area-light meshes
-                # (per-triangle lights; the power sampler handles the count).
-                from ..scenes.meshes import icosphere
+                if self.reverse or self.cur_object is not None:
+                    # Inward-emitting (ReverseOrientation) or instanced
+                    # emissive spheres keep the icosphere tessellation
+                    # fallback; the analytic light assumes an outward
+                    # one-sided emitter in world space.
+                    from ..scenes.meshes import icosphere
 
-                tris = icosphere(2, r * sc, center)
-                self._emit_triangles(tris)
+                    tris = icosphere(2, r * sc, center)
+                    self._emit_triangles(tris)
+                    return
+                # Analytic emissive sphere: exact geometry + cone-sampled
+                # NEE (DiffuseAreaLight over Sphere, shapes.cpp
+                # Sphere::Sample).
+                self.sph_light.append(len(self.sphere_lights))
+                self.sphere_lights.append(
+                    {"c": center, "r": r * sc, **self.cur_area_light}
+                )
+                self.spheres.append([*center, r * sc])
+                self.sph_mat.append(self.cur_material)
                 return
             self.spheres.append([*center, r * sc])
             self.sph_mat.append(self.cur_material)
+            self.sph_light.append(-1)
             return
         elif stype == "disk" and self.cur_area_light is None:
             # Analytic disk (Disk::Intersect, shapes.h): plane solve +
@@ -1276,6 +1292,16 @@ class PbrtParser:
             if self.spheres else None,
             sph_mat=np.asarray(self.sph_mat, np.int32)
             if self.spheres else None,
+            # Sphere-light ids live after the area triangles in the global
+            # light list: offset local sphere_lights indices by n_area.
+            sph_light=np.asarray(
+                [
+                    (len(self.area_lights) + l if l >= 0 else -1)
+                    for l in self.sph_light
+                ],
+                np.int32,
+            )
+            if self.spheres else None,
             **(
                 dict(
                     zip(
@@ -1302,6 +1328,7 @@ class PbrtParser:
         materials = MaterialBuffers.build(self.materials)
         lights = LightBuffers.build(
             area_tris=self.area_lights,
+            sphere_lights=self.sphere_lights,
             points=self.points,
             spots=self.spots,
             projections=self.projections,

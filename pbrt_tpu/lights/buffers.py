@@ -69,6 +69,16 @@ class LightBuffers:
     area_illum: jnp.ndarray  # (La,) bool: D65-shaped vs flat spectrum
     area_two_sided: jnp.ndarray  # (La,) bool
     area_area: jnp.ndarray  # (La,) triangle area
+    # Emissive analytic spheres (DiffuseAreaLight over a Sphere shape).
+    # One-sided emitters radiating along the outward normal unless two
+    # (reference: lights.h DiffuseAreaLight::L + shapes.cpp Sphere::Sample
+    # cone solid-angle sampling). Light ids na..na+Lq-1.
+    sphl_c: jnp.ndarray  # (Lq, 3) center
+    sphl_r: jnp.ndarray  # (Lq,) radius
+    sphl_coeffs: jnp.ndarray  # (Lq, 3)
+    sphl_scale: jnp.ndarray  # (Lq,)
+    sphl_illum: jnp.ndarray  # (Lq,) bool
+    sphl_two: jnp.ndarray  # (Lq,) bool
     # Point lights.
     point_p: jnp.ndarray  # (Lp, 3)
     point_coeffs: jnp.ndarray  # (Lp, 3)
@@ -121,6 +131,10 @@ class LightBuffers:
         return self.area_verts.shape[0]
 
     @property
+    def n_sphl(self) -> int:
+        return self.sphl_c.shape[0]
+
+    @property
     def n_point(self) -> int:
         return self.point_p.shape[0]
 
@@ -147,14 +161,15 @@ class LightBuffers:
     @property
     def n_lights(self) -> int:
         return (
-            self.n_area + self.n_point + self.n_spot + self.n_proj
-            + self.n_gonio + self.n_distant
+            self.n_area + self.n_sphl + self.n_point + self.n_spot
+            + self.n_proj + self.n_gonio + self.n_distant
             + (1 if (self.has_infinite or self.has_env) else 0)
         )
 
     @staticmethod
     def build(
         area_tris=None,  # dicts: verts (3,3), rgb, scale, two_sided, illuminant
+        sphere_lights=None,  # dicts: c (3,), r, rgb, scale, two_sided, illuminant
         points=None,  # dicts: p, rgb, scale, illuminant
         spots=None,  # dicts: p, to, rgb, scale, coneangle, conedelta, illuminant
         projections=None,  # dicts: p, to, fov, rgb|rgb_image, scale, illuminant
@@ -175,6 +190,7 @@ class LightBuffers:
             return jnp.asarray([bool(s.get(key, default)) for s in specs], bool)
 
         area_tris = area_tris or []
+        sphere_lights = sphere_lights or []
         points = points or []
         spots = spots or []
         projections = projections or []
@@ -252,6 +268,17 @@ class LightBuffers:
         else:
             areas = np.zeros((0,), np.float32)
 
+        qc_ = np.asarray(
+            [q["c"] for q in sphere_lights], np.float32
+        ).reshape(-1, 3)
+        qr_ = np.asarray(
+            [q["r"] for q in sphere_lights], np.float32
+        ).reshape(-1)
+        qcoef, qsc = _fit(
+            [np.asarray(q["rgb"]) * q.get("scale", 1.0)
+             for q in sphere_lights]
+        )
+
         pp = np.asarray([p["p"] for p in points], np.float32).reshape(-1, 3)
         pc, psc = _fit(
             [np.asarray(p["rgb"]) * p.get("scale", 1.0) for p in points]
@@ -298,6 +325,12 @@ class LightBuffers:
             lum = float(np.mean(a["rgb"])) * a.get("scale", 1.0)
             two = 2.0 if a.get("two_sided", False) else 1.0
             powers.append(lum * float(area_list[i]) * np.pi * two)
+        for q in sphere_lights:
+            lum = float(np.mean(q["rgb"])) * q.get("scale", 1.0)
+            two = 2.0 if q.get("two_sided", False) else 1.0
+            powers.append(
+                lum * 4.0 * np.pi * float(q["r"]) ** 2 * np.pi * two
+            )
         for p in points:
             powers.append(float(np.mean(p["rgb"])) * p.get("scale", 1.0) * 4 * np.pi)
         for s in spots:
@@ -341,6 +374,12 @@ class LightBuffers:
             area_illum=_flags(area_tris, "illuminant", True),
             area_two_sided=_flags(area_tris, "two_sided", False),
             area_area=jnp.asarray(areas, jnp.float32),
+            sphl_c=jnp.asarray(qc_),
+            sphl_r=jnp.asarray(qr_),
+            sphl_coeffs=qcoef,
+            sphl_scale=qsc,
+            sphl_illum=_flags(sphere_lights, "illuminant", True),
+            sphl_two=_flags(sphere_lights, "two_sided", False),
             point_p=jnp.asarray(pp),
             point_coeffs=pc,
             point_scale=psc,
@@ -390,10 +429,10 @@ class LightBuffers:
 
     @property
     def n_bvh(self) -> int:
-        """Positional lights held by the light BVH (area + point + spot +
-        projection + goniometric)."""
-        return (self.n_area + self.n_point + self.n_spot + self.n_proj
-                + self.n_gonio)
+        """Positional lights held by the light BVH (area + sphere + point +
+        spot + projection + goniometric)."""
+        return (self.n_area + self.n_sphl + self.n_point + self.n_spot
+                + self.n_proj + self.n_gonio)
 
     @property
     def n_inf_list(self) -> int:
@@ -495,32 +534,75 @@ class LightBuffers:
         )
 
 
-    def area_radiance(self, light_idx, lam):
-        """Emitted radiance of area light `light_idx` at wavelengths lam."""
-        if self.n_area == 0:
-            return jnp.zeros_like(lam)
-        i = jnp.clip(light_idx, 0, self.n_area - 1)
-        return eval_emission(
-            gather_rows(self.area_coeffs, i),
-            gather_rows(self.area_scale, i),
-            gather_rows(self.area_illum, i),
-            lam,
+    def _sphl_packed(self):
+        """(Lq, 10) packed sphere-light table: c 0:3, r 3, coeffs 4:7,
+        scale 7, illum 8, two_sided 9."""
+        f32 = jnp.float32
+        return jnp.concatenate(
+            [
+                self.sphl_c,
+                self.sphl_r[:, None],
+                self.sphl_coeffs,
+                self.sphl_scale[:, None],
+                self.sphl_illum.astype(f32)[:, None],
+                self.sphl_two.astype(f32)[:, None],
+            ],
+            axis=1,
         )
 
+    def area_radiance(self, light_idx, lam):
+        """Emitted radiance of emissive-geometry light `light_idx` (area
+        triangle or analytic sphere) at wavelengths lam."""
+        na, nq = self.n_area, self.n_sphl
+        if na + nq == 0:
+            return jnp.zeros_like(lam)
+        out = jnp.zeros(light_idx.shape + (lam.shape[-1],), lam.dtype)
+        if na > 0:
+            i = jnp.clip(light_idx, 0, na - 1)
+            L_a = eval_emission(
+                gather_rows(self.area_coeffs, i),
+                gather_rows(self.area_scale, i),
+                gather_rows(self.area_illum, i),
+                lam,
+            )
+            out = jnp.where((light_idx < na)[..., None], L_a, out)
+        if nq > 0:
+            qi = jnp.clip(light_idx - na, 0, nq - 1)
+            L_q = eval_emission(
+                gather_rows(self.sphl_coeffs, qi),
+                gather_rows(self.sphl_scale, qi),
+                gather_rows(self.sphl_illum, qi),
+                lam,
+            )
+            out = jnp.where((light_idx >= na)[..., None], L_q, out)
+        return out
+
     def emitted(self, light_idx, n_geo, wo, lam):
-        """L_e toward wo for rays that hit area light light_idx (>=0).
+        """L_e toward wo for rays that hit emissive geometry light_idx
+        (>=0): area triangles (ids < n_area) or analytic spheres.
 
         Reference: DiffuseAreaLight::L (lights.h).
         """
-        if self.n_area == 0:
+        na, nq = self.n_area, self.n_sphl
+        if na + nq == 0:
             return jnp.zeros_like(lam)
-        i = jnp.clip(light_idx, 0, self.n_area - 1)
-        g = gather_rows(self._area_packed(), i)
         front = dot(n_geo, wo) > 0.0
-        two = g[:, 14] > 0.5
-        vis = front | two
-        L = eval_emission(g[:, 9:12], g[:, 12], g[:, 13] > 0.5, lam)
-        return jnp.where(((light_idx >= 0) & vis)[..., None], L, 0.0)
+        L = jnp.zeros(light_idx.shape + (lam.shape[-1],), lam.dtype)
+        if na > 0:
+            i = jnp.clip(light_idx, 0, na - 1)
+            g = gather_rows(self._area_packed(), i)
+            vis = front | (g[:, 14] > 0.5)
+            L_a = eval_emission(g[:, 9:12], g[:, 12], g[:, 13] > 0.5, lam)
+            use = (light_idx >= 0) & (light_idx < na) & vis
+            L = jnp.where(use[..., None], L_a, L)
+        if nq > 0:
+            qi = jnp.clip(light_idx - na, 0, nq - 1)
+            g = gather_rows(self._sphl_packed(), qi)
+            vis = front | (g[:, 9] > 0.5)
+            L_q = eval_emission(g[:, 4:7], g[:, 7], g[:, 8] > 0.5, lam)
+            use = (light_idx >= na) & vis
+            L = jnp.where(use[..., None], L_q, L)
+        return L
 
     def escaped_radiance(self, d, lam, p_ref=None):
         """Radiance for rays escaping in direction d (infinite/env light).
@@ -546,8 +628,8 @@ class LightBuffers:
         """Solid-angle pdf that NEE sampling produced direction d toward the
         infinite light, including its selection pmf (for MIS on escaped
         rays). Zero when there is no infinite light."""
-        n_inf = (self.n_area + self.n_point + self.n_spot + self.n_proj
-                 + self.n_gonio + self.n_distant)
+        n_inf = (self.n_area + self.n_sphl + self.n_point + self.n_spot
+                 + self.n_proj + self.n_gonio + self.n_distant)
         if self.bvh is not None:
             pmf = self._p_infinite / max(self.n_inf_list, 1)
         else:
@@ -587,9 +669,9 @@ class LightBuffers:
         dist = jnp.full((N,), jnp.inf, p_ref.dtype)
         is_delta = jnp.zeros((N,), bool)
 
-        na, npt, nsp, nj, ng, nd = (
-            self.n_area, self.n_point, self.n_spot, self.n_proj,
-            self.n_gonio, self.n_distant,
+        na, nq, npt, nsp, nj, ng, nd = (
+            self.n_area, self.n_sphl, self.n_point, self.n_spot,
+            self.n_proj, self.n_gonio, self.n_distant,
         )
 
         if na > 0:
@@ -617,6 +699,75 @@ class LightBuffers:
             wi = jnp.where(use[..., None], wi_a, wi)
             pdf = jnp.where(use, pdf_a, pdf)
             dist = jnp.where(use, d, dist)
+
+        if nq > 0:
+            # Emissive analytic spheres: cone solid-angle sampling from
+            # outside (Sphere::Sample(ctx,u), shapes.cpp — the uniform-cone
+            # construction with the cosAlpha surface-point solve), uniform
+            # area sampling from inside.
+            qi = jnp.clip(idx - na, 0, nq - 1)
+            g = gather_rows(self._sphl_packed(), qi)  # (N, 10)
+            c_q = g[:, 0:3]
+            r_q = g[:, 3]
+            to_c = c_q - p_ref
+            dc2 = jnp.sum(to_c * to_c, axis=-1)
+            inside = dc2 <= r_q * r_q * (1.0 + 1e-6)
+            dc = jnp.sqrt(jnp.maximum(dc2, _EPS))
+            sin2max = jnp.clip(r_q * r_q / jnp.maximum(dc2, _EPS), 0.0, 1.0)
+            cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+            # Taylor-stable 1-cos(thetaMax) for tiny subtended angles
+            # (sampling.h OneMinusCosThetaMax treatment).
+            one_minus = jnp.where(
+                sin2max < 6.85e-4, 0.5 * sin2max, 1.0 - cosmax
+            )
+            u0 = u_pos[..., 0]
+            u1 = u_pos[..., 1]
+            cos_t = 1.0 - u0 * one_minus
+            sin2_t = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+            sinmax = jnp.sqrt(jnp.maximum(sin2max, _EPS))
+            cos_a = sin2_t / sinmax + cos_t * jnp.sqrt(
+                jnp.maximum(1.0 - sin2_t / jnp.maximum(sin2max, _EPS), 0.0)
+            )
+            cos_a = jnp.clip(cos_a, -1.0, 1.0)
+            sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+            phi_a = 2.0 * jnp.pi * u1
+            from ..core.vecmath import coordinate_system as _coord
+
+            zf = (p_ref - c_q) / dc[..., None]
+            t1q, t2q = _coord(zf)
+            n_out = (
+                t1q * (sin_a * jnp.cos(phi_a))[..., None]
+                + t2q * (sin_a * jnp.sin(phi_a))[..., None]
+                + zf * cos_a[..., None]
+            )
+            from ..core.sampling import sample_uniform_sphere as _usph
+
+            n_in = _usph(u_pos)
+            n_l = jnp.where(inside[..., None], n_in, n_out)
+            p_l = c_q + r_q[..., None] * n_l
+            to_l = p_l - p_ref
+            d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), _EPS)
+            d = jnp.sqrt(d2)
+            wi_q = to_l / d[..., None]
+            cos_l = dot(n_l, -wi_q)
+            area_q = 4.0 * jnp.pi * r_q * r_q
+            pdf_in = d2 / (jnp.abs(cos_l) * area_q + _EPS)
+            pdf_out = 1.0 / jnp.maximum(
+                2.0 * jnp.pi * one_minus, _EPS
+            )
+            pdf_q = jnp.where(inside, pdf_in, pdf_out)
+            two_q = g[:, 9] > 0.5
+            emit_ok = (cos_l > _EPS) | (two_q & (jnp.abs(cos_l) > _EPS))
+            L_q = eval_emission(g[:, 4:7], g[:, 7], g[:, 8] > 0.5, lam)
+            L_q = jnp.where(emit_ok[..., None], L_q, 0.0)
+            use = (idx >= na) & (idx < na + nq)
+            L = jnp.where(use[..., None], L_q, L)
+            wi = jnp.where(use[..., None], wi_q, wi)
+            pdf = jnp.where(use, pdf_q, pdf)
+            dist = jnp.where(use, d, dist)
+
+        # Downstream branch windows shift past the sphere block.
+        na = na + nq
 
         if npt > 0:
             pi = jnp.clip(idx - na, 0, npt - 1)
@@ -788,13 +939,123 @@ class LightBuffers:
         have sampled from). Reference: DiffuseAreaLight::PDF_Li +
         {Uniform,Power,BVH}LightSampler::PMF.
         """
-        if self.n_area == 0:
+        na, nq = self.n_area, self.n_sphl
+        if na + nq == 0:
             return jnp.zeros_like(dist)
-        i = jnp.clip(light_idx, 0, self.n_area - 1)
-        area = jnp.maximum(gather_rows(self.area_area, i), _EPS)
+        ii = jnp.clip(light_idx, 0, max(na + nq - 1, 0))
         if self.bvh is not None and p_ref is not None:
             pmf = self.selection_pmf(light_idx, p_ref, n_ref)
         else:
-            pmf = gather_rows(self.select_pmf[: max(self.n_area, 1)], i)
-        pdf = dist * dist / (jnp.abs(cos_l) * area + _EPS)
+            pmf = gather_rows(self.select_pmf[: max(na + nq, 1)], ii)
+        pdf = jnp.zeros_like(dist)
+        if na > 0:
+            i = jnp.clip(light_idx, 0, na - 1)
+            area = jnp.maximum(gather_rows(self.area_area, i), _EPS)
+            pdf_a = dist * dist / (jnp.abs(cos_l) * area + _EPS)
+            pdf = jnp.where(light_idx < na, pdf_a, pdf)
+        if nq > 0:
+            # Sphere::PDF(ctx, wi): uniform-cone pdf from outside the
+            # sphere, area-measure conversion from inside (shapes.cpp).
+            qi = jnp.clip(light_idx - na, 0, nq - 1)
+            c_q = gather_rows(self.sphl_c, qi)
+            r_q = gather_rows(self.sphl_r, qi)
+            pv = p_ref if p_ref is not None else jnp.zeros_like(c_q)
+            dc2 = jnp.sum((pv - c_q) ** 2, axis=-1)
+            inside = dc2 <= r_q * r_q * (1.0 + 1e-6)
+            sin2max = jnp.clip(
+                r_q * r_q / jnp.maximum(dc2, _EPS), 0.0, 1.0
+            )
+            cosmax = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+            one_minus = jnp.where(
+                sin2max < 6.85e-4, 0.5 * sin2max, 1.0 - cosmax
+            )
+            pdf_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus, _EPS)
+            area_q = 4.0 * jnp.pi * r_q * r_q
+            pdf_in = dist * dist / (jnp.abs(cos_l) * area_q + _EPS)
+            pdf = jnp.where(
+                light_idx >= na, jnp.where(inside, pdf_in, pdf_cone), pdf
+            )
         return jnp.where(light_idx >= 0, pdf * pmf, 0.0)
+
+    def sample_le_origin(self, u_sel, u_pos):
+        """Sample an emission origin over ALL emissive geometry (area
+        triangles + analytic spheres) with the selection pmf renormalized
+        over those lights — the shared SampleLe front half for LightPath/
+        BDPT/SPPM (DiffuseAreaLight::SampleLe position sampling,
+        lights.cpp). Direction sampling (cosine about n) stays with the
+        callers. Returns dict: p (N,3), n (N,3), area (N,), pmf (N,),
+        coeffs (N,3), scale (N,), illum (N,) for eval_emission.
+        """
+        na, nq = self.n_area, self.n_sphl
+        ne = na + nq
+        assert ne > 0, "sample_le_origin with no emissive geometry"
+        pmf_e = self.select_pmf[:ne]
+        pmf_e = pmf_e / jnp.maximum(jnp.sum(pmf_e), 1e-12)
+        cdf_e = jnp.cumsum(pmf_e)
+        idx = jnp.minimum(
+            jnp.sum(
+                (cdf_e[None, :] <= u_sel[..., None]).astype(jnp.int32),
+                axis=-1,
+            ),
+            ne - 1,
+        )
+        pmf = gather_rows(pmf_e, idx)
+        N = u_sel.shape[0]
+        p0 = jnp.zeros((N, 3), jnp.float32)
+        n0 = jnp.zeros((N, 3), jnp.float32)
+        area = jnp.ones((N,), jnp.float32)
+        coeffs = jnp.zeros((N, 3), jnp.float32)
+        scale = jnp.zeros((N,), jnp.float32)
+        illum = jnp.zeros((N,), bool)
+        if na > 0:
+            ai = jnp.clip(idx, 0, na - 1)
+            verts = gather_rows(
+                self.area_verts.reshape(-1, 9), ai
+            ).reshape(-1, 3, 3)
+            b = sample_uniform_triangle(u_pos)
+            p_a = jnp.einsum("nk,nkj->nj", b, verts)
+            n_a = normalize(
+                jnp.cross(verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0])
+            )
+            use = (idx < na)[..., None]
+            p0 = jnp.where(use, p_a, p0)
+            n0 = jnp.where(use, n_a, n0)
+            area = jnp.where(
+                use[..., 0], gather_rows(self.area_area, ai), area
+            )
+            coeffs = jnp.where(
+                use, gather_rows(self.area_coeffs, ai), coeffs
+            )
+            scale = jnp.where(
+                use[..., 0], gather_rows(self.area_scale, ai), scale
+            )
+            illum = jnp.where(
+                use[..., 0], gather_rows(self.area_illum, ai), illum
+            )
+        if nq > 0:
+            from ..core.sampling import sample_uniform_sphere as _usph
+
+            qi = jnp.clip(idx - na, 0, nq - 1)
+            c_q = gather_rows(self.sphl_c, qi)
+            r_q = gather_rows(self.sphl_r, qi)
+            n_q = _usph(u_pos)
+            p_q = c_q + r_q[..., None] * n_q
+            use = (idx >= na)[..., None]
+            p0 = jnp.where(use, p_q, p0)
+            n0 = jnp.where(use, n_q, n0)
+            area = jnp.where(
+                use[..., 0], 4.0 * jnp.pi * r_q * r_q, area
+            )
+            coeffs = jnp.where(
+                use, gather_rows(self.sphl_coeffs, qi), coeffs
+            )
+            scale = jnp.where(
+                use[..., 0], gather_rows(self.sphl_scale, qi), scale
+            )
+            illum = jnp.where(
+                use[..., 0], gather_rows(self.sphl_illum, qi), illum
+            )
+        return {
+            "p": p0, "n": n0, "area": area, "pmf": pmf,
+            "coeffs": coeffs, "scale": scale, "illum": illum, "idx": idx,
+        }

@@ -135,6 +135,22 @@ def light_bounds_arrays(lights) -> list:
             _Bounds(v.min(0), v.max(0), n, 0.0, np.pi / 2.0, max(phi, 1e-9),
                     bool(a_two[i]))
         )
+    # Emissive analytic spheres: normals span the full direction sphere
+    # (Sphere::NormalBounds == EntireSphere), so theta_o = pi like a point
+    # light; phi = scale * 4 pi r^2 * pi.
+    qc = np.asarray(lights.sphl_c)
+    qr = np.asarray(lights.sphl_r)
+    q_sc = np.asarray(lights.sphl_scale)
+    q_two = np.asarray(lights.sphl_two)
+    for i in range(qc.shape[0]):
+        r = float(qr[i])
+        phi = float(q_sc[i]) * 4.0 * np.pi * r * r * np.pi * (
+            2.0 if q_two[i] else 1.0
+        )
+        out.append(
+            _Bounds(qc[i] - r, qc[i] + r, np.array([0.0, 0.0, 1.0]),
+                    np.pi, np.pi / 2.0, max(phi, 1e-9), bool(q_two[i]))
+        )
     pp = np.asarray(lights.point_p)
     p_sc = np.asarray(lights.point_scale)
     for i in range(pp.shape[0]):

@@ -204,7 +204,9 @@ class BDPTIntegrator:
 
         sampler = as_sampler(sampler)
         lights = scene.lights
-        assert lights.n_area > 0, "BDPT v1 needs area lights"
+        assert lights.n_area + lights.n_sphl > 0, (
+            "BDPT needs emissive geometry"
+        )
         lam = wl.lam
         n = pixel.shape[0]
         s_spec = lam.shape[-1]
@@ -231,32 +233,13 @@ class BDPTIntegrator:
             dim_base=8, n_steps=nt, stop_at_light=False,
         )
 
-        # ---- light subpath origin y0 (area lights, renormalized pmf).
-        na = lights.n_area
-        pmf_area = lights.select_pmf[:na]
-        pmf_area = pmf_area / jnp.maximum(jnp.sum(pmf_area), 1e-12)
-        cdf_area = jnp.cumsum(pmf_area)
+        # ---- light subpath origin y0 (emissive geometry, renormalized
+        # pmf; shared area-triangle + analytic-sphere origin sampling).
         u_sel = sampler.get_1d(pixel, sample_idx, 1000)
-        li = jnp.minimum(
-            jnp.sum((cdf_area[None, :] <= u_sel[..., None]).astype(jnp.int32),
-                    axis=-1),
-            na - 1,
-        )
-        pmf = gather_rows(pmf_area, li)
-        verts = gather_rows(lights.area_verts, li)
         up0, up1 = sampler.get_2d(pixel, sample_idx, 1001)
-        bary = sample_uniform_triangle(jnp.stack([up0, up1], -1))
-        y0_p = jnp.einsum("nk,nkj->nj", bary, verts)
-        e1 = verts[:, 1] - verts[:, 0]
-        e2 = verts[:, 2] - verts[:, 0]
-        y0_n = normalize(jnp.cross(e1, e2))
-        area = gather_rows(lights.area_area, li)
-        le = eval_emission(
-            gather_rows(lights.area_coeffs, li),
-            gather_rows(lights.area_scale, li),
-            gather_rows(lights.area_illum, li),
-            lam,
-        )  # (n, S)
+        org = lights.sample_le_origin(u_sel, jnp.stack([up0, up1], -1))
+        pmf, y0_p, y0_n, area = org["pmf"], org["p"], org["n"], org["area"]
+        le = eval_emission(org["coeffs"], org["scale"], org["illum"], lam)
         pdf_pos = pmf / jnp.maximum(area, _EPS)  # area measure incl. select
         beta_y0 = (1.0 / jnp.maximum(pdf_pos, _EPS))[:, None]  # (n, 1)
 
@@ -355,12 +338,21 @@ class BDPTIntegrator:
             t1, t2 = coordinate_system(v_ns)
             return t1, t2
 
+        # Combined emissive-geometry tables (area triangles ++ analytic
+        # spheres) in global light-index order, for PdfLightOrigin.
+        ne = lights.n_area + lights.n_sphl
+        pmf_e = lights.select_pmf[:ne]
+        pmf_e = pmf_e / jnp.maximum(jnp.sum(pmf_e), 1e-12)
+        areas_e = jnp.concatenate(
+            [lights.area_area, 4.0 * jnp.pi * lights.sphl_r ** 2]
+        )
+
         def light_origin_pdf(light_idx):
             """Area density of the light subpath starting at a point of
             light `light_idx` (PdfLightOrigin)."""
-            i = jnp.clip(light_idx, 0, na - 1)
-            pm = gather_rows(pmf_area, i)
-            ar = gather_rows(lights.area_area, i)
+            i = jnp.clip(light_idx, 0, ne - 1)
+            pm = gather_rows(pmf_e, i)
+            ar = gather_rows(areas_e, i)
             return jnp.where(
                 light_idx >= 0, pm / jnp.maximum(ar, _EPS), 0.0
             )

@@ -54,7 +54,9 @@ class LightPathIntegrator:
 
         sampler = as_sampler(sampler)
         lights = scene.lights
-        assert lights.n_area > 0, "LightPath needs area lights"
+        assert lights.n_area + lights.n_sphl > 0, (
+            "LightPath needs emissive geometry"
+        )
         nx, ny = camera.resolution
         npix = nx * ny
         n = n_paths
@@ -65,38 +67,13 @@ class LightPathIntegrator:
 
         splat = jnp.zeros((npix + 1, 3), jnp.float32)
 
-        # ---- Emission sampling (DiffuseAreaLight::SampleLe analogue).
+        # ---- Emission sampling (DiffuseAreaLight::SampleLe analogue;
+        # shared area-triangle + analytic-sphere origin sampling).
         u_sel = sampler.get_1d(path_id, sample_idx, 1000)
-        na = lights.n_area
-        # Emission sampling draws from AREA lights only, so renormalize the
-        # scene selection pmf over the first n_area entries (the full-scene
-        # cdf truncated at na ends below 1 when other light types exist,
-        # which would bias all leftover mass onto the last area light).
-        pmf_area = lights.select_pmf[:na]
-        pmf_area = pmf_area / jnp.maximum(jnp.sum(pmf_area), 1e-12)
-        cdf_area = jnp.cumsum(pmf_area)
-        idx = jnp.minimum(
-            jnp.sum(
-                (cdf_area[None, :] <= u_sel[..., None]).astype(jnp.int32),
-                axis=-1,
-            ),
-            na - 1,
-        )
-        pmf = gather_rows(pmf_area, idx)
-        verts = gather_rows(lights.area_verts, idx)
         up0, up1 = sampler.get_2d(path_id, sample_idx, 1001)
-        b = sample_uniform_triangle(jnp.stack([up0, up1], -1))
-        p0 = jnp.einsum("nk,nkj->nj", b, verts)
-        e1 = verts[:, 1] - verts[:, 0]
-        e2 = verts[:, 2] - verts[:, 0]
-        n_l = normalize(jnp.cross(e1, e2))
-        area = gather_rows(lights.area_area, idx)
-        le = eval_emission(
-            gather_rows(lights.area_coeffs, idx),
-            gather_rows(lights.area_scale, idx),
-            gather_rows(lights.area_illum, idx),
-            lam,
-        )
+        org = lights.sample_le_origin(u_sel, jnp.stack([up0, up1], -1))
+        pmf, p0, n_l, area = org["pmf"], org["p"], org["n"], org["area"]
+        le = eval_emission(org["coeffs"], org["scale"], org["illum"], lam)
 
         def connect(splat, p, n_geo, radiance_toward_cam_fn, active):
             """Splat the radiance leaving p toward the camera."""

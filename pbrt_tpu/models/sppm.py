@@ -365,35 +365,14 @@ class SPPMIntegrator:
         pid = jnp.arange(n, dtype=jnp.int32)
         K = self.k_candidates
 
-        # --- Photon emission from area lights (DiffuseAreaLight::SampleLe;
-        # same construction as LightPathIntegrator.render_splats).
-        na = lights.n_area
-        pmf_area = lights.select_pmf[:na]
-        pmf_area = pmf_area / jnp.maximum(jnp.sum(pmf_area), 1e-12)
-        cdf_area = jnp.cumsum(pmf_area)
+        # --- Photon emission from emissive geometry (DiffuseAreaLight::
+        # SampleLe; shared area-triangle + analytic-sphere origins).
         u_sel = rng.uniform_1d(pid, it, 2000, seed)
-        idx = jnp.minimum(
-            jnp.sum(
-                (cdf_area[None, :] <= u_sel[:, None]).astype(jnp.int32), -1
-            ),
-            na - 1,
-        )
-        pmf = gather_rows(pmf_area, idx)
-        verts = gather_rows(lights.area_verts, idx)
         up0 = rng.uniform_1d(pid, it, 2001, seed)
         up1 = rng.uniform_1d(pid, it, 2002, seed)
-        b = sample_uniform_triangle(jnp.stack([up0, up1], -1))
-        p0 = jnp.einsum("nk,nkj->nj", b, verts)
-        n_l = normalize(
-            jnp.cross(verts[:, 1] - verts[:, 0], verts[:, 2] - verts[:, 0])
-        )
-        area = gather_rows(lights.area_area, idx)
-        le = eval_emission(
-            gather_rows(lights.area_coeffs, idx),
-            gather_rows(lights.area_scale, idx),
-            gather_rows(lights.area_illum, idx),
-            lam_n,
-        )
+        org = lights.sample_le_origin(u_sel, jnp.stack([up0, up1], -1))
+        pmf, p0, n_l, area = org["pmf"], org["p"], org["n"], org["area"]
+        le = eval_emission(org["coeffs"], org["scale"], org["illum"], lam_n)
         ud0 = rng.uniform_1d(pid, it, 2003, seed)
         ud1 = rng.uniform_1d(pid, it, 2004, seed)
         t1, t2 = coordinate_system(n_l)
@@ -518,7 +497,9 @@ class SPPMIntegrator:
     def render(self, scene: Scene, camera, n_iterations: int = 32,
                seed: int = 0, return_stats: bool = False):
         """Run SPPM; returns the (ny, nx, 3) linear-RGB image."""
-        assert scene.lights.n_area > 0, "SPPM photons need area lights"
+        assert scene.lights.n_area + scene.lights.n_sphl > 0, (
+            "SPPM photons need emissive geometry"
+        )
         nx, ny = camera.resolution
         npix = nx * ny
         n_photons = self.photons_per_iteration or npix

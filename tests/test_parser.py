@@ -172,15 +172,18 @@ def test_emissive_sphere_and_bilinear_patch():
     WorldEnd
     """
     scene, _, _ = load_pbrt_string(text)
-    # Icosphere(2) = 320 triangles, all emissive; the (non-emissive)
-    # bilinear patch is now ANALYTIC rather than tessellated.
-    assert scene.lights.n_area == 320
-    assert scene.geom.num_triangles == 320
+    # Emissive spheres are ANALYTIC lights now (no icosphere tessellation),
+    # and the (non-emissive) bilinear patch is analytic too.
+    assert scene.lights.n_area == 0
+    assert scene.lights.n_sphl == 1
+    assert scene.geom.num_triangles == 0
     assert scene.geom.num_blps == 1
-    # Sphere triangles centered near (0, 2, 0) with radius ~0.3.
-    v = np.asarray(scene.geom.tri_verts[:320]).reshape(-1, 3)
-    r = np.linalg.norm(v - np.array([0, 2, 0]), axis=1)
-    np.testing.assert_allclose(r, 0.3, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(scene.lights.sphl_c[0]), [0, 2, 0], atol=1e-6
+    )
+    np.testing.assert_allclose(float(scene.lights.sphl_r[0]), 0.3, atol=1e-6)
+    # The analytic sphere carries its light id in the geometry.
+    assert int(np.asarray(scene.geom.sph_light)[0]) == 0
     # It renders: light the floor patch from the sphere.
     from pbrt_tpu.models.path import PathIntegrator
     from pbrt_tpu.render import render
