@@ -187,6 +187,7 @@ class PbrtParser:
         self.tris = []
         self.tri_mat = []
         self.tri_light = []
+        self.tri_face = []  # Ptex faceIndex: triangle index within its shape
         self.spheres = []
         self.sph_mat = []
         self.sph_light = []  # per-sphere index into sphere_lights (-1 none)
@@ -718,6 +719,25 @@ class PbrtParser:
                 img = np.full((2, 2, 3), 0.5, np.float32)
             sc = float(_get(p, "scale", 1.0))
             spec.update(kind="image", rgb_image=np.asarray(img) * sc)
+        elif tclass == "ptex":
+            fname = _get(p, "filename")
+            faces = None
+            if fname:
+                try:
+                    from .ptex import read_ptex
+
+                    faces, _mt = read_ptex(
+                        os.path.join(self.base_dir, fname)
+                    )
+                except Exception as e:  # missing/unsupported file
+                    self.warnings.append(f"ptex '{fname}': {e}")
+            if faces is None:
+                faces = [np.full((2, 2, 3), 0.5, np.float32)]
+            spec.update(
+                kind="ptex",
+                ptex_faces=faces,
+                f0=float(_get(p, "scale", 1.0)),
+            )
         else:
             return None
         return spec
@@ -1037,14 +1057,16 @@ class PbrtParser:
                 self.tris.append(v)
                 self.tri_mat.append(self.cur_material)
                 self.tri_light.append(base + i)
+                self.tri_face.append(i)
             return
-        for t in tris_world:
+        for i, t in enumerate(tris_world):
             v = t.astype(np.float32)
             if self.reverse:
                 v = v[::-1].copy()
             self.tris.append(v)
             self.tri_mat.append(self.cur_material)
             self.tri_light.append(-1)
+            self.tri_face.append(i)
 
     def _d_Shape(self, ts):
         mat_save = self.cur_material
@@ -1288,6 +1310,7 @@ class PbrtParser:
             tri_verts=np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
             tri_mat=np.asarray(self.tri_mat, np.int32),
             tri_light=np.asarray(self.tri_light, np.int32),
+            tri_face=np.asarray(self.tri_face, np.int32),
             spheres=np.asarray(self.spheres, np.float32).reshape(-1, 4)
             if self.spheres else None,
             sph_mat=np.asarray(self.sph_mat, np.int32)

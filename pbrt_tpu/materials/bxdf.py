@@ -395,9 +395,21 @@ def surface_params(scene, isect, lam=None):
     if scene.textures is not None:
         from ..textures.buffers import evaluate_albedo_coeffs
 
+        face = None
+        if scene.textures.has_ptex:
+            # Ptex faceIndex: triangle index within its source shape
+            # (PtexTexture::Evaluate, textures.cpp — ctx.faceIndex).
+            n_tri = scene.geom.num_triangles
+            if n_tri > 0:
+                from ..core.gather import gather_rows as _gr
+
+                ti = jnp.clip(isect.prim, 0, n_tri - 1)
+                face = jnp.where(
+                    isect.prim < n_tri, _gr(scene.geom.tri_face, ti), 0
+                )
         params["albedo_coeffs"] = evaluate_albedo_coeffs(
             scene.textures, params["albedo_tex"], isect.uv, isect.p,
-            params["albedo_coeffs"],
+            params["albedo_coeffs"], face=face,
         )
     if params["any_hair"]:
         params["hair_h"] = jnp.clip(

@@ -40,6 +40,9 @@ class GeometryBuffers:
     tri_verts: jnp.ndarray
     tri_mat: jnp.ndarray
     tri_light: jnp.ndarray
+    # Per-triangle face index within its source shape (Ptex faceIndex;
+    # the reference's TriangleMesh faceIndices, util/mesh.h).
+    tri_face: jnp.ndarray
     sph: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
@@ -55,7 +58,8 @@ class GeometryBuffers:
 
     @staticmethod
     def build(
-        tri_verts=None, tri_mat=None, tri_light=None, spheres=None,
+        tri_verts=None, tri_mat=None, tri_light=None, tri_face=None,
+        spheres=None,
         sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
         disk=None, disk_mat=None, cyl=None, cyl_mat=None,
         blp=None, blp_mat=None,
@@ -75,6 +79,11 @@ class GeometryBuffers:
                 jnp.full((t,), -1, jnp.int32)
                 if tri_light is None
                 else jnp.asarray(tri_light, jnp.int32)
+            ),
+            tri_face=(
+                jnp.zeros((t,), jnp.int32)
+                if tri_face is None
+                else jnp.asarray(tri_face, jnp.int32)
             ),
             sph=_arr(spheres, (s, 4), jnp.float32),
             sph_mat=_arr(sph_mat, (s,), jnp.int32),

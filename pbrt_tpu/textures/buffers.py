@@ -4,8 +4,9 @@ Reference analogue: the texture variant families of
 /root/reference/src/pbrt/textures.h:27-72 (Constant, Scale, Mix,
 DirectionMix, Bilerp, Checkerboard, Dots, FBm, Windy, Wrinkled, Marble,
 Image-over-MIPMap) and the TexCoord mappings (UVMapping, SphericalMapping,
-CylindricalMapping, PlanarMapping; textures.h:75-180). Ptex is the one
-family not represented (no per-face texel sets).
+CylindricalMapping, PlanarMapping; textures.h:75-180) plus Ptex per-face
+texel sets (textures.h:1003, faces loaded by io/ptex.py and indexed by the
+Interaction's per-triangle face id).
 
 TPU-first design decisions:
   * One SOA row per texture; evaluation computes EVERY family's value for
@@ -50,6 +51,7 @@ TEX_DOTS = 8
 TEX_FBM = 9
 TEX_WINDY = 10
 TEX_WRINKLED = 11
+TEX_PTEX = 12
 
 MAP_UV = 0
 MAP_SPHERICAL = 1
@@ -62,7 +64,7 @@ _KIND_NAMES = {
     "marble": TEX_MARBLE, "scale": TEX_SCALE, "mix": TEX_MIX,
     "directionmix": TEX_DIRECTIONMIX, "bilerp": TEX_BILERP,
     "dots": TEX_DOTS, "fbm": TEX_FBM, "windy": TEX_WINDY,
-    "wrinkled": TEX_WRINKLED,
+    "wrinkled": TEX_WRINKLED, "ptex": TEX_PTEX,
 }
 _MAP_NAMES = {
     "uv": MAP_UV, "spherical": MAP_SPHERICAL,
@@ -93,6 +95,12 @@ class TextureBuffers:
     # Image textures: shared flat mip stack (all images padded to one size).
     img_index: jnp.ndarray  # (T,) image id or -1
     img_flat: jnp.ndarray  # (I, TX, 3) all mip levels, flattened
+    # Ptex textures: per-face texel stacks resampled to one shared RxR
+    # (PtexTexture, textures.h:1003; faces indexed by Interaction face id).
+    ptex_index: jnp.ndarray  # (T,) int32 ptex id or -1
+    ptex_flat: jnp.ndarray  # (TotalFaces, R, R, 3)
+    ptex_base: jnp.ndarray  # (P,) int32 first face row per ptex texture
+    ptex_nfaces: jnp.ndarray  # (P,) int32 face count per ptex texture
     img_offsets: tuple = static_field(default=())
     img_widths: tuple = static_field(default=())
     img_heights: tuple = static_field(default=())
@@ -101,6 +109,8 @@ class TextureBuffers:
     # references a sub-texture (the materials-table any_* flag pattern).
     families: tuple = static_field(default=())
     has_refs: bool = static_field(default=False)
+    has_ptex: bool = static_field(default=False)
+    ptex_res: int = static_field(default=1)
 
     @staticmethod
     def build(specs) -> "TextureBuffers":
@@ -133,6 +143,49 @@ class TextureBuffers:
                 images.append(np.asarray(s["rgb_image"], np.float32))
             else:
                 img_idx.append(-1)
+
+        # Ptex face stacks: resample every face of every ptex texture onto
+        # one shared RxR grid so a single static table serves all lookups.
+        ptex_idx = []
+        ptex_stacks = []
+        for s in specs:
+            if s["kind"] == "ptex":
+                ptex_idx.append(len(ptex_stacks))
+                ptex_stacks.append(s["ptex_faces"])
+            else:
+                ptex_idx.append(-1)
+        if ptex_stacks:
+            res = 4
+            for st in ptex_stacks:
+                for f in st:
+                    res = max(res, f.shape[0], f.shape[1])
+            res = min(1 << (res - 1).bit_length(), 64)
+            rows, bases, counts = [], [], []
+            for st in ptex_stacks:
+                bases.append(len(rows))
+                counts.append(len(st))
+                for f in st:
+                    f = np.asarray(f, np.float32)
+                    if f.shape[-1] == 1:
+                        f = np.repeat(f, 3, axis=-1)
+                    yy = np.clip(
+                        (np.arange(res) * f.shape[0] // res), 0,
+                        f.shape[0] - 1,
+                    )
+                    xx = np.clip(
+                        (np.arange(res) * f.shape[1] // res), 0,
+                        f.shape[1] - 1,
+                    )
+                    rows.append(f[yy][:, xx, :3])
+            ptex_flat = jnp.asarray(np.stack(rows))
+            ptex_base = jnp.asarray(bases, jnp.int32)
+            ptex_nfaces = jnp.asarray(counts, jnp.int32)
+            ptex_res = int(res)
+        else:
+            ptex_flat = jnp.zeros((0, 1, 1, 3), jnp.float32)
+            ptex_base = jnp.zeros((0,), jnp.int32)
+            ptex_nfaces = jnp.zeros((0,), jnp.int32)
+            ptex_res = 1
 
         if images:
             h = 1 << (max(im.shape[0] for im in images) - 1).bit_length()
@@ -200,6 +253,12 @@ class TextureBuffers:
             aux1=vec3("aux1", (0.0, 1.0, 0.0)),
             img_index=jnp.asarray(img_idx, jnp.int32).reshape(n),
             img_flat=img_flat,
+            ptex_index=jnp.asarray(ptex_idx, jnp.int32).reshape(n),
+            ptex_flat=ptex_flat,
+            ptex_base=ptex_base,
+            ptex_nfaces=ptex_nfaces,
+            has_ptex=bool(ptex_stacks),
+            ptex_res=ptex_res,
             img_offsets=tuple(offs),
             img_widths=tuple(ws),
             img_heights=tuple(hs),
@@ -248,7 +307,7 @@ def _map_uv(tex, row, uv, p_world):
 def _gather_row(tex, tid):
     keys = ("kind", "rgb0", "rgb1", "rgb2", "rgb3", "f0", "sub0", "sub1",
             "sub2", "mapping", "uscale", "vscale", "udelta", "vdelta",
-            "aux0", "aux1", "img_index")
+            "aux0", "aux1", "img_index", "ptex_index")
     return {k: gather_rows(getattr(tex, k), tid) for k in keys}
 
 
@@ -301,7 +360,7 @@ def _image_lookup(tex, row, u, v, width):
     return bil(l0) * (1 - f) + bil(l0 + 1) * f
 
 
-def _eval_leaf(tex, tid, uv, p_world, width, n_shade=None):
+def _eval_leaf(tex, tid, uv, p_world, width, n_shade=None, face=None):
     """RGB value of non-referencing texture families at each ray.
 
     Families absent from tex.families (a static build-time set) are pruned
@@ -393,10 +452,41 @@ def _eval_leaf(tex, tid, uv, p_world, width, n_shade=None):
     if int(tex.img_flat.shape[0]) > 0:
         img = _image_lookup(tex, row, u, v, width)
         out = jnp.where((kind == TEX_IMAGE)[..., None], img, out)
+
+    if tex.has_ptex:
+        # Ptex per-face bilinear lookup with clamp addressing at face
+        # borders (the filtered cross-face blending of the reference's
+        # PtexFilter is a planned refinement).
+        pi = jnp.clip(row["ptex_index"], 0, tex.ptex_base.shape[0] - 1)
+        fbase = jnp.take(tex.ptex_base, pi)
+        nf = jnp.take(tex.ptex_nfaces, pi)
+        fid = jnp.zeros_like(fbase) if face is None else face
+        fi = fbase + jnp.clip(fid, 0, nf - 1)
+        R = tex.ptex_res
+        flat = tex.ptex_flat.reshape(-1, 3)
+        x = jnp.clip(u, 0.0, 1.0) * R - 0.5
+        y = jnp.clip(v, 0.0, 1.0) * R - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+
+        def ptx(xi, yi):
+            xi = jnp.clip(xi, 0, R - 1)
+            yi = jnp.clip(yi, 0, R - 1)
+            return jnp.take(flat, (fi * R + yi) * R + xi, axis=0)
+
+        pv = (
+            ptx(x0, y0) * (1 - fx) * (1 - fy)
+            + ptx(x0 + 1, y0) * fx * (1 - fy)
+            + ptx(x0, y0 + 1) * (1 - fx) * fy
+            + ptx(x0 + 1, y0 + 1) * fx * fy
+        ) * row["f0"][..., None]
+        out = jnp.where((kind == TEX_PTEX)[..., None], pv, out)
     return out
 
 
-def _eval(tex, tid, uv, p_world, width, n_shade, depth):
+def _eval(tex, tid, uv, p_world, width, n_shade, depth, face=None):
     """Evaluate with `depth` remaining levels of sub-texture indirection.
 
     depth is a STATIC unroll count: referencing families (Scale, Mix,
@@ -408,7 +498,7 @@ def _eval(tex, tid, uv, p_world, width, n_shade, depth):
     """
     row = _gather_row(tex, tid)
     kind = row["kind"]
-    out = _eval_leaf(tex, tid, uv, p_world, width, n_shade)
+    out = _eval_leaf(tex, tid, uv, p_world, width, n_shade, face)
 
     fam = set(tex.families) if tex.families else set(range(12))
     if not (
@@ -421,7 +511,8 @@ def _eval(tex, tid, uv, p_world, width, n_shade, depth):
         if depth == 0:
             return const_rgb
         sid = jnp.clip(sub_id, 0, tex.n_textures - 1)
-        val = _eval(tex, sid, uv, p_world, width, n_shade, depth - 1)
+        val = _eval(tex, sid, uv, p_world, width, n_shade, depth - 1,
+                    face)
         return jnp.where((sub_id >= 0)[..., None], val, const_rgb)
 
     v0 = sub_val(row["sub0"], row["rgb0"])
@@ -453,7 +544,7 @@ def _eval(tex, tid, uv, p_world, width, n_shade, depth):
 
 
 def evaluate_rgb(tex: TextureBuffers, tex_id, uv, p_world, width=None,
-                 n_shade=None):
+                 n_shade=None, face=None):
     """Linear-RGB texture value per ray; tex_id -1 rows return 0 (callers
     mask). width: screen-footprint in uv units for mip selection."""
     if tex is None or tex.n_textures == 0:
@@ -461,11 +552,13 @@ def evaluate_rgb(tex: TextureBuffers, tex_id, uv, p_world, width=None,
     if width is None:
         width = jnp.zeros(uv.shape[:-1], jnp.float32)
     tid = jnp.clip(tex_id, 0, tex.n_textures - 1)
-    return _eval(tex, tid, uv, p_world, width, n_shade, depth=2)
+    return _eval(tex, tid, uv, p_world, width, n_shade, depth=2,
+                 face=face)
 
 
 def evaluate_albedo_coeffs(tex: TextureBuffers, tex_id, uv, p_world,
-                           base_coeffs, width=None, n_shade=None):
+                           base_coeffs, width=None, n_shade=None,
+                           face=None):
     """Per-ray albedo sigmoid coefficients with textures applied.
 
     tex_id: (N,) int32 texture id per ray (-1 = keep base); uv: (N, 2);
@@ -474,16 +567,19 @@ def evaluate_albedo_coeffs(tex: TextureBuffers, tex_id, uv, p_world,
     if tex is None or tex.n_textures == 0:
         return base_coeffs
     rgb = jnp.clip(
-        evaluate_rgb(tex, tex_id, uv, p_world, width, n_shade), 0.0, 1.0
+        evaluate_rgb(tex, tex_id, uv, p_world, width, n_shade, face),
+        0.0, 1.0,
     )
     coeffs = rgb2spec.fit_albedo(rgb, iters=12)
     return jnp.where((tex_id >= 0)[..., None], coeffs, base_coeffs)
 
 
 def evaluate_float(tex: TextureBuffers, tex_id, uv, p_world, base_value,
-                   width=None):
+                   width=None, face=None):
     """Float-texture channel (roughness etc.): mean of the RGB value."""
     if tex is None or tex.n_textures == 0:
         return base_value
-    val = jnp.mean(evaluate_rgb(tex, tex_id, uv, p_world, width), axis=-1)
+    val = jnp.mean(
+        evaluate_rgb(tex, tex_id, uv, p_world, width, face=face), axis=-1
+    )
     return jnp.where(tex_id >= 0, val, base_value)
