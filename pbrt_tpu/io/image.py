@@ -46,9 +46,8 @@ def read_pfm(path: str) -> np.ndarray:
 # --- PNG --------------------------------------------------------------------
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: (h, w, 3) uint8 or float in [0,1] (converted with sRGB encode
-    responsibility on the caller — this writes raw 8-bit values)."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 (or float in [0,1]) to PNG bytes."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
@@ -68,11 +67,19 @@ def write_png(path: str, img: np.ndarray) -> None:
         b"\x00" + img[y].tobytes() for y in range(h)
     )  # filter 0 per scanline
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (h, w, 3) uint8 or float in [0,1] (converted with sRGB encode
+    responsibility on the caller — this writes raw 8-bit values)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(img))
 
 
 # --- OpenEXR (scanline, float/half, NONE/ZIP) -------------------------------

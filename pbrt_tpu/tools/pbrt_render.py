@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--disable-pixel-jitter", action="store_true")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--interactive", action="store_true",
+                   help="serve a live viewer with keyboard camera controls "
+                        "(the reference's GUI, as a built-in HTTP viewer)")
+    p.add_argument("--gui-port", type=int, default=8788)
     p.add_argument("--display-server", default=None,
                    help="tev host:port for live preview")
     p.add_argument("--mse-reference-image", default=None,
@@ -67,6 +71,20 @@ def main(argv=None):
             integrator = integrator.replace(max_depth=args.maxdepth)
     spp = args.spp or settings["spp"]
     spp = max(args.samples_per_pass, spp - spp % args.samples_per_pass)
+
+    if args.interactive:
+        from ..utils.gui import GUI, interactive_render_loop
+
+        gui = GUI(args.scene, camera.resolution, port=args.gui_port)
+        print(f"interactive viewer: {gui.url}", file=sys.stderr)
+        img = interactive_render_loop(
+            scene, camera, integrator, gui,
+            samples_per_pass=args.samples_per_pass, seed=args.seed,
+        )
+        gui.close()
+        if img is not None:
+            write_exr(args.outfile, np.asarray(img))
+        return
 
     t0 = time.perf_counter()
     # Specialty integrators (MLT/SPPM/BDPT/LightPath) own their render loop;
