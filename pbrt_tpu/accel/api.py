@@ -95,7 +95,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     geom = scene.geom
     small = getattr(scene, "small", None)
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
-            and small is None:
+            and small is None and getattr(scene, "kdtree", None) is None:
         return _merge_disk_cyl(
             geom, o, d, dense.intersect_closest(geom, o, d, tmax)
         )
@@ -104,7 +104,20 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     if tmax is None:
         tmax = jnp.full((n_rays,), _INF, o.dtype)
 
-    if small is not None and jax.default_backend() != "cpu":
+    if getattr(scene, "kdtree", None) is not None:
+        from .kdtree import kdtree_intersect
+
+        t, prim, u, v = kdtree_intersect(scene.kdtree, o, d, tmax)
+        t = jnp.where(prim >= 0, t, _INF)
+        n_tri = geom.num_triangles
+        tri_idx = jnp.clip(jnp.maximum(prim, 0), 0, max(n_tri - 1, 0))
+        tv = gather_rows(geom.tri_verts, tri_idx)
+        ng = normalize(
+            jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        )
+        mat = gather_rows(geom.tri_mat, tri_idx)
+        light = gather_rows(geom.tri_light, tri_idx)
+    elif small is not None and jax.default_backend() != "cpu":
         # The brute-force VMEM kernel; on CPU the interpreter would walk
         # the grid in Python, so the dense XLA tester (bit-equivalent,
         # gated by tests/test_intersect.py) serves there instead.
@@ -198,7 +211,7 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     geom = scene.geom
     small = getattr(scene, "small", None)
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
-            and small is None:
+            and small is None and getattr(scene, "kdtree", None) is None:
         occ = dense.intersect_any(geom, o, d, tmax)
         if geom.num_disks > 0:
             _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
@@ -210,7 +223,11 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
             _, i_b, _, _ = dense.blp_best(geom, o, d, tmax)
             occ = occ | (i_b >= 0)
         return occ
-    if small is not None and jax.default_backend() != "cpu":
+    if getattr(scene, "kdtree", None) is not None:
+        from .kdtree import kdtree_intersect
+
+        occ = kdtree_intersect(scene.kdtree, o, d, tmax, any_hit=True)
+    elif small is not None and jax.default_backend() != "cpu":
         from ..ops.smallscene import smallscene_intersect
 
         res = smallscene_intersect(small, o, d, tmax, any_hit=True)

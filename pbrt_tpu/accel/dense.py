@@ -443,6 +443,33 @@ def offset_ray_origin(p, n, d):
     return p + sign * eps * n
 
 
+def shadow_segment(p, n, wi, dist):
+    """Robust shadow segment from a surface point to a light sample.
+
+    Reference analogue: Interaction::SpawnRayTo (interaction.h:236) — both
+    ray endpoints are offset off their surfaces and tMax is parametric in
+    the re-aimed segment. Offsetting only the origin and keeping the
+    original (wi, dist) is NOT robust: at grazing angles the normal offset
+    shifts where the ray crosses the light's plane by eps/|wi.n_l|, which
+    can exceed the relative shortening and self-hit the light (seen as
+    fully-occluded NEE from surfaces nearly coplanar with the light).
+
+    Returns (origin, direction, t_max); infinite dist (delta/infinite
+    lights) keeps the original direction with a large t_max.
+    """
+    so = offset_ray_origin(p, n, wi)
+    finite = jnp.isfinite(dist)
+    dist_f = jnp.where(finite, dist, 1.0)
+    target = p + wi * dist_f[..., None]
+    seg = target - so
+    seg_len = jnp.maximum(
+        jnp.sqrt(jnp.sum(seg * seg, axis=-1)), 1e-20
+    )
+    wi2 = jnp.where(finite[..., None], seg / seg_len[..., None], wi)
+    smax = jnp.where(finite, seg_len * (1.0 - 1e-3), 1e30)
+    return so, wi2, smax
+
+
 # --- Analytic disk / cylinder quadrics (Disk/Cylinder, shapes.h) ------------
 
 

@@ -415,6 +415,22 @@ def surface_params(scene, isect, lam=None):
         params["hair_h"] = jnp.clip(
             2.0 * isect.uv[..., 1] - 1.0, -0.9995, 0.9995
         )
+    # Dielectric orientation: integrators shade in a frame flipped toward
+    # wo, which erases the inside/outside distinction DielectricBxDF needs
+    # to pick eta vs 1/eta (the reference keeps wo.z signed instead,
+    # bxdfs.h:300). isect.n is canonical (outward for quadrics, winding for
+    # meshes), so recover the side here: exiting rays see the inverted IOR,
+    # which in the flipped frame reproduces the true refraction geometry
+    # (mirror symmetry), Fresnel, TIR, and the radiance 1/eta^2 scaling.
+    if scene.materials.any_dielectric:
+        from .buffers import MAT_DIELECTRIC
+
+        entering = jnp.sum(isect.n * isect.wo, axis=-1) >= 0.0
+        params["eta"] = jnp.where(
+            (params["kind"] == MAT_DIELECTRIC) & ~entering,
+            1.0 / jnp.maximum(params["eta"], 1e-6),
+            params["eta"],
+        )
     return params
 
 

@@ -433,13 +433,21 @@ class BDPTIntegrator:
                     xv(vx, "beta") * f_x * g[:, None] * f_y * yv(vy, "beta")
                 )
                 need = val & jnp.any(contrib != 0.0, axis=-1)
+                # Two-ended robust segment (SpawnRayTo, interaction.h:236):
+                # both endpoints sit on geometry, so offset each off its own
+                # surface and re-aim; see accel.dense.shadow_segment.
                 so = offset_ray_origin(px_, xv(vx, "ng"), w_xy)
-                dist = jnp.sqrt(jnp.maximum(d2, _EPS))
+                ty_ = offset_ray_origin(py_, yv(vy, "ng"), -w_xy)
+                seg = ty_ - so
+                seg_len = jnp.maximum(
+                    jnp.sqrt(jnp.sum(seg * seg, axis=-1)), 1e-20
+                )
+                w_sh = seg / seg_len[:, None]
                 occ = accel_api.any_hit(
                     scene,
                     jnp.where(need[:, None], so, jnp.zeros_like(so) + 1e8),
-                    w_xy,
-                    jnp.where(need, dist * (1.0 - 1e-3), 0.0),
+                    w_sh,
+                    jnp.where(need, seg_len * (1.0 - 1e-3), 0.0),
                 )
                 ok = need & ~occ
 

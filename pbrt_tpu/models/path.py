@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..accel import api as accel_api
-from ..accel.dense import offset_ray_origin
+from ..accel.dense import offset_ray_origin, shadow_segment
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
 from ..core.vecmath import coordinate_system, dot, from_local, shading_frame, to_local
@@ -232,14 +232,13 @@ class PathIntegrator:
                 need_shadow = active & (ls.pdf > 0.0) & jnp.any(
                     contrib != 0.0, axis=-1
                 )
-                so = offset_ray_origin(isect.p, isect.n, ls.wi)
-                smax = jnp.where(
-                    jnp.isfinite(ls.dist), ls.dist * (1.0 - 1e-3), 1e30
+                so, wi_sh, smax = shadow_segment(
+                    isect.p, isect.n, ls.wi, ls.dist
                 )
                 occluded = accel_api.any_hit(
                     scene,
                     jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
-                    ls.wi,
+                    wi_sh,
                     jnp.where(need_shadow, smax, 0.0),
                 )
                 L = L + jnp.where(
@@ -296,4 +295,56 @@ class PathIntegrator:
         final, _ = jax.lax.scan(
             bounce, init, jnp.arange(self.max_depth), length=self.max_depth
         )
-        return final["L"], {"rays": final["rays"]}
+
+        # --- Terminal emission tier: the reference's depth loop breaks
+        # AFTER adding Le at the (maxDepth+1)-th vertex (integrators.cpp:
+        # "if (depth++ == maxDepth) break;" follows the emission add), so
+        # BSDF-sampled light hits one segment past the last NEE still
+        # contribute their MIS complement. One emission-only intersection
+        # for rays that survived all bounces restores that tier.
+        L = final["L"]
+        active = final["active"]
+        if have_lights:
+            beta, d_f = final["beta"], final["d"]
+            lam = wl.lam
+            isect = accel_api.closest(scene, final["o"], d_f)
+            hit = active & isect.valid
+            le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
+            if self.use_mis and self.use_nee:
+                cos_l = dot(isect.n, isect.wo)
+                light_pdf = scene.lights.pdf_li_area(
+                    isect.light, isect.t, cos_l,
+                    p_ref=final["prev_p"], n_ref=final["prev_ns"],
+                )
+                w_l = jnp.where(
+                    final["specular"], 1.0,
+                    power_heuristic(1, final["prev_pdf"], 1, light_pdf),
+                )
+                w_esc = jnp.where(
+                    final["specular"], 1.0,
+                    power_heuristic(
+                        1, final["prev_pdf"], 1,
+                        scene.lights.pdf_escaped(d_f, final["o"]),
+                    ),
+                )
+            elif self.use_nee:
+                w_l = jnp.where(final["specular"], 1.0, 0.0)
+                w_esc = w_l
+            else:
+                w_l = jnp.ones_like(isect.t)
+                w_esc = w_l
+            emit_mask = hit & (isect.light >= 0)
+            L = L + jnp.where(
+                emit_mask[..., None], beta * w_l[..., None] * le, 0.0
+            )
+            escaped = active & ~isect.valid
+            L = L + jnp.where(
+                escaped[..., None],
+                beta * w_esc[..., None]
+                * scene.lights.escaped_radiance(d_f, lam, final["o"]),
+                0.0,
+            )
+            rays = final["rays"] + jnp.sum(active.astype(jnp.float32))
+        else:
+            rays = final["rays"]
+        return L, {"rays": rays}

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import api as accel_api
-from ..accel.dense import offset_ray_origin
+from ..accel.dense import offset_ray_origin, shadow_segment
 from ..core import rng, spectrum
 from ..core.gather import gather_rows
 from ..core.pytree import pytree, static_field
@@ -239,14 +239,13 @@ class SPPMIntegrator:
                     0.0,
                 )
                 need = active & (ls.pdf > 0.0) & jnp.any(contrib != 0.0, -1)
-                so = offset_ray_origin(isect.p, isect.n, ls.wi)
-                smax = jnp.where(
-                    jnp.isfinite(ls.dist), ls.dist * (1.0 - 1e-3), 1e30
+                so, wi_sh, smax = shadow_segment(
+                    isect.p, isect.n, ls.wi, ls.dist
                 )
                 occ = accel_api.any_hit(
                     scene,
                     jnp.where(need[..., None], so, jnp.zeros_like(so) + 1e8),
-                    ls.wi,
+                    wi_sh,
                     jnp.where(need, smax, 0.0),
                 )
                 Ld = Ld + jnp.where((need & ~occ)[..., None], contrib, 0.0)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..accel import api as accel_api
-from ..accel.dense import offset_ray_origin
+from ..accel.dense import offset_ray_origin, shadow_segment
 from ..core.pytree import pytree, static_field
 from ..core.sampling import power_heuristic
 from ..core.vecmath import coordinate_system, dot, from_local, shading_frame, to_local
@@ -482,9 +482,11 @@ class VolPathIntegrator:
                     if self.use_mis
                     else 1.0,
                 )
-                so = offset_ray_origin(isect.p, isect.n, ls.wi)
+                so, wi_sh, smax_sh = shadow_segment(
+                    isect.p, isect.n, ls.wi, ls.dist
+                )
                 tr = self._transmittance(
-                    scene, so, ls.wi, ls.dist, lam, pixel, sample_idx,
+                    scene, so, wi_sh, smax_sh, lam, pixel, sample_idx,
                     sampler, dim0 + 300,
                 )
                 if have_stack:

@@ -39,6 +39,10 @@ class Scene:
     # Optional Pallas brute-force small-scene intersector
     # (ops.smallscene.SmallTriAccel) — used below the cluster threshold.
     small: Optional[object] = None
+    # Optional SAH kd-tree (accel.kdtree.KdTree) — pbrt's alternate
+    # aggregate (KdTreeAggregate); parity engine, cluster kernel is the
+    # TPU performance path.
+    kdtree: Optional[object] = None
 
     def with_accel(self, threshold: int = 1024) -> "Scene":
         """Attach the triangle intersector fitting the scene size.
@@ -68,5 +72,19 @@ class Scene:
                 np.asarray(self.geom.tri_verts),
                 np.asarray(self.geom.tri_mat),
                 np.asarray(self.geom.tri_light),
+            )
+        )
+
+    def with_kdtree(self, max_prims: int = 4) -> "Scene":
+        """Attach the SAH kd-tree aggregate (KdTreeAggregate analogue)."""
+        import numpy as np
+
+        from .accel.kdtree import build_kdtree
+
+        if self.geom.num_triangles == 0:
+            return self
+        return self.replace(
+            kdtree=build_kdtree(
+                np.asarray(self.geom.tri_verts), max_prims=max_prims
             )
         )
