@@ -62,9 +62,14 @@ class VolPathIntegrator:
     # -- transmittance (ratio tracking; integrators.cpp SampleLd Tr loop) ----
 
     def _transmittance(self, scene, o, wi, dist, lam, pixel, sample_idx,
-                       sampler, dim_base):
+                       sampler, dim_base, check_occlusion=True):
         smax = jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), _BIG)
-        occ = accel_api.any_hit(scene, o, wi, smax)
+        if check_occlusion:
+            occ = accel_api.any_hit(scene, o, wi, smax)
+        else:
+            # Occlusion (incl. interface crossings) handled by _shadow_tr;
+            # only the scene-level medium factor is wanted here.
+            occ = jnp.zeros(o.shape[:-1], bool)
         med = scene.medium
         tr = jnp.ones(lam.shape, lam.dtype)
         if med is None or med.is_none:
@@ -134,6 +139,65 @@ class VolPathIntegrator:
         return jnp.where(occ[..., None], 0.0, tr)
 
     # -- main loop -----------------------------------------------------------
+
+    def _shadow_tr(self, scene, o, wi, dist, med0, lam):
+        """Shadow transmittance through material-less interface boundaries.
+
+        Reference analogue: the Tr loop of VolPathIntegrator::SampleLd
+        (cpu/integrators.cpp, "si->intr.material blocks, otherwise
+        SkipIntersection and keep going") and the wavefront shadow_Tr
+        pipeline (gpu/optix.cu:268). A shadow ray crosses MAT_INTERFACE
+        surfaces, switching its interior medium per the crossed side and
+        attenuating each segment closed-form (stack media are homogeneous);
+        any real material blocks. Bounded at 4 crossings — rays still
+        mid-walk after that are conservatively treated as blocked.
+        Returns (N, S) transmittance, zero where blocked.
+        """
+        from ..core.gather import gather_rows
+        from ..materials.buffers import MAT_INTERFACE
+        from ..media.medium import MED_KEEP
+
+        stack = scene.media_stack
+        n = o.shape[0]
+        dist_f = jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), _BIG)
+
+        def body(carry, _):
+            o_c, remaining, med, tr, blocked, done = carry
+            active = ~done
+            isect = accel_api.closest(
+                scene, o_c, wi, jnp.where(active, remaining, 0.0)
+            )
+            hit = active & isect.valid
+            seg = jnp.where(hit, isect.t, remaining)
+            sa, ss = stack.sigma_at_idx(med, lam)
+            att = jnp.exp(
+                -(sa + ss) * jnp.where(active, seg, 0.0)[..., None]
+            )
+            tr = tr * jnp.where(active[..., None], att, 1.0)
+            kind = gather_rows(scene.materials.kind, isect.mat)
+            is_iface = kind == MAT_INTERFACE
+            blocked = blocked | (hit & ~is_iface)
+            gi = gather_rows(scene.materials.med_inside, isect.mat)
+            go = gather_rows(scene.materials.med_outside, isect.mat)
+            entering = jnp.sum(wi * isect.n, axis=-1) < 0.0
+            tgt = jnp.where(entering, gi, go)
+            crossed = hit & is_iface & ~blocked
+            med = jnp.where(crossed & (tgt != MED_KEEP), tgt, med)
+            o_c = jnp.where(
+                hit[..., None], offset_ray_origin(isect.p, isect.n, wi), o_c
+            )
+            remaining = jnp.where(hit, jnp.maximum(remaining - seg, 0.0), 0.0)
+            done = done | blocked | ~hit
+            return (o_c, remaining, med, tr, blocked, done), None
+
+        init = (
+            o, dist_f, med0, jnp.ones(lam.shape, lam.dtype),
+            jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+        )
+        (_, _, _, tr, blocked, done), _ = jax.lax.scan(
+            body, init, None, length=4
+        )
+        return jnp.where((blocked | ~done)[..., None], 0.0, tr)
 
     def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         return self.trace_with_stats(
@@ -405,20 +469,23 @@ class VolPathIntegrator:
                 )
                 wo_med = -d
                 p_phase = ph.hg_pdf(wo_med, ls.wi, g_eff)
-                tr = self._transmittance(
-                    scene, p_med, ls.wi, ls.dist, lam, pixel, sample_idx,
-                    sampler, dim0 + 200,
-                )
                 if have_stack:
-                    # Shadow rays from inside an interior medium attenuate
-                    # by that medium; any boundary crossing is an occluder
-                    # (dielectric boundaries block NEE in pbrt too), so the
-                    # full-distance factor is exact for unoccluded rays.
-                    d_sh = jnp.where(
-                        jnp.isfinite(ls.dist), ls.dist, _BIG
+                    # Interface-aware shadow walk: crossings switch media
+                    # and attenuate per segment (pbrt's shadow_Tr).
+                    tr = self._shadow_tr(
+                        scene, p_med, ls.wi, ls.dist, med_idx, lam
                     )
-                    tr_named = jnp.exp(-st_nm * d_sh[..., None])
-                    tr = tr * jnp.where(in_named[..., None], tr_named, 1.0)
+                    if have_medium:
+                        tr = tr * self._transmittance(
+                            scene, p_med, ls.wi, ls.dist, lam, pixel,
+                            sample_idx, sampler, dim0 + 200,
+                            check_occlusion=False,
+                        )
+                else:
+                    tr = self._transmittance(
+                        scene, p_med, ls.wi, ls.dist, lam, pixel, sample_idx,
+                        sampler, dim0 + 200,
+                    )
                 w_nee = jnp.where(
                     ls.is_delta,
                     1.0,
@@ -485,23 +552,29 @@ class VolPathIntegrator:
                 so, wi_sh, smax_sh = shadow_segment(
                     isect.p, isect.n, ls.wi, ls.dist
                 )
-                tr = self._transmittance(
-                    scene, so, wi_sh, smax_sh, lam, pixel, sample_idx,
-                    sampler, dim0 + 300,
-                )
+                if not have_stack:
+                    tr = self._transmittance(
+                        scene, so, wi_sh, smax_sh, lam, pixel, sample_idx,
+                        sampler, dim0 + 300,
+                    )
                 if have_stack:
                     # The shadow ray starts in the medium on its own side
                     # of the surface (pbrt's si.SkipIntersection medium
                     # selection): inside-medium toward the interior,
                     # outside otherwise; MED_KEEP inherits the ray medium.
+                    # _shadow_tr then crosses any interface boundaries,
+                    # switching media per segment.
                     side = jnp.where(
                         dot(ls.wi, isect.n) < 0.0, gi_mat, go_mat
                     )
                     side = jnp.where(side == MED_KEEP, med_idx, side)
-                    sa_sd, ss_sd = stack.sigma_at_idx(side, lam)
-                    d_sh = jnp.where(jnp.isfinite(ls.dist), ls.dist, _BIG)
-                    tr_sd = jnp.exp(-(sa_sd + ss_sd) * d_sh[..., None])
-                    tr = tr * jnp.where((side >= 0)[..., None], tr_sd, 1.0)
+                    tr = self._shadow_tr(scene, so, wi_sh, smax_sh, side, lam)
+                    if have_medium:
+                        tr = tr * self._transmittance(
+                            scene, so, wi_sh, smax_sh, lam, pixel,
+                            sample_idx, sampler, dim0 + 300,
+                            check_occlusion=False,
+                        )
                 contrib = (
                     beta
                     * f_nee
@@ -601,4 +674,66 @@ class VolPathIntegrator:
         final, _ = jax.lax.scan(
             bounce, init, jnp.arange(self.max_depth), length=self.max_depth
         )
-        return final["L"], {"rays": final["rays"]}
+
+        # --- Terminal emission tier (matches PathIntegrator and the
+        # reference's "Le then break" depth semantics): rays alive after
+        # the last bounce still contribute the MIS-weighted emission of
+        # whatever they hit (or escape to), attenuated by ratio-tracked
+        # medium transmittance along the final segment in place of the
+        # in-loop null-collision walk (equal in expectation).
+        L = final["L"]
+        active = final["active"]
+        rays = final["rays"]
+        if have_lights:
+            o_f, d_f, beta = final["o"], final["d"], final["beta"]
+            isect = accel_api.closest(scene, o_f, d_f)
+            hit = active & isect.valid
+            le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
+            if self.use_mis and self.use_nee:
+                cos_l = dot(isect.n, isect.wo)
+                light_pdf = scene.lights.pdf_li_area(
+                    isect.light, isect.t, cos_l,
+                    p_ref=final["prev_p"], n_ref=final["prev_ns"],
+                )
+                w_l = jnp.where(
+                    final["specular"], 1.0,
+                    power_heuristic(1, final["prev_pdf"], 1, light_pdf),
+                )
+                w_esc = jnp.where(
+                    final["specular"], 1.0,
+                    power_heuristic(
+                        1, final["prev_pdf"], 1,
+                        scene.lights.pdf_escaped(d_f, o_f),
+                    ),
+                )
+            elif self.use_nee:
+                w_l = jnp.where(final["specular"], 1.0, 0.0)
+                w_esc = w_l
+            else:
+                w_l = jnp.ones_like(isect.t)
+                w_esc = w_l
+            if have_medium:
+                dim_t = _CAM_DIMS + self.max_depth * _BOUNCE_DIMS
+                seg = jnp.where(isect.valid, isect.t, jnp.inf)
+                tr = self._transmittance(
+                    scene, o_f, d_f, seg, lam, pixel, sample_idx, sampler,
+                    dim_t,
+                )
+                # _transmittance zeroes occluded segments; the closest-hit
+                # surface itself sits just beyond the shortened span, so
+                # only the medium factor remains.
+            else:
+                tr = jnp.ones_like(beta)
+            emit_mask = hit & (isect.light >= 0)
+            L = L + jnp.where(
+                emit_mask[..., None], beta * tr * w_l[..., None] * le, 0.0
+            )
+            escaped_rays = active & ~isect.valid
+            L = L + jnp.where(
+                escaped_rays[..., None],
+                beta * tr * w_esc[..., None]
+                * scene.lights.escaped_radiance(d_f, lam, o_f),
+                0.0,
+            )
+            rays = rays + jnp.sum(active.astype(jnp.float32))
+        return L, {"rays": rays}

@@ -31,6 +31,9 @@ CASES = [
     ("box", 512, 0.04, 0.035),
     ("spheres", 384, 0.035, 1e-4),
     ("spot", 256, 0.035, 5e-4),
+    # fog: homogeneous interior medium via per-shape MediumInterface
+    # (VolPath + interface-aware shadow transmittance).
+    ("fog", 192, 0.06, 5e-5),
 ]
 
 
