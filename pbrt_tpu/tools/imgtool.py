@@ -243,6 +243,72 @@ def cmd_bloom(args):
     _write(args.output, (img + args.scale * blurred).astype(np.float32))
 
 
+def cmd_cat(args):
+    """Print pixel values (imgtool cat, cmd/imgtool.cpp)."""
+    img = _read(args.input)
+    h, w = img.shape[:2]
+    if not args.csv:
+        print(f"{args.input}: {w} x {h}, {img.shape[2]} channels")
+    for y in range(h):
+        for x in range(w):
+            px = img[y, x]
+            if args.csv:
+                print(",".join(f"{v:.9g}" for v in px))
+            else:
+                print(f"({x}, {y}): " + " ".join(f"{v:.9g}" for v in px))
+    return 0
+
+
+def cmd_scalenormalmap(args):
+    """Scale tangent-space normal-map strength (imgtool scalenormalmap):
+    decode [0,1] -> [-1,1], scale xy by the factor, renormalize, re-encode.
+    """
+    img = _read(args.input).astype(np.float32)
+    n = img * 2.0 - 1.0
+    n[..., :2] *= args.scale
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    _write(args.output, ((n + 1.0) * 0.5).astype(np.float32))
+    return 0
+
+
+def cmd_makeemitters(args):
+    """Emit pbrt scene text with one emissive quad per (downsampled) image
+    pixel (imgtool makeemitters, cmd/imgtool.cpp)."""
+    img = _read(args.input).astype(np.float32)
+    ds = max(1, args.downsample)
+    h, w = img.shape[:2]
+    hh, ww = h // ds, w // ds
+    img = img[: hh * ds, : ww * ds].reshape(hh, ds, ww, ds, -1).mean((1, 3))
+    lines = []
+    for y in range(hh):
+        for x in range(ww):
+            rgb = img[y, x][:3]
+            if not np.any(rgb > 0):
+                continue
+            x0, x1 = x / ww, (x + 1) / ww
+            # flip y so image-up is +y in scene space
+            y0, y1 = 1.0 - (y + 1) / hh, 1.0 - y / hh
+            lines.append("AttributeBegin")
+            lines.append(
+                '  AreaLightSource "diffuse" "rgb L" '
+                f"[{rgb[0]:.6g} {rgb[1]:.6g} {rgb[2]:.6g}]"
+            )
+            lines.append(
+                '  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3] '
+                '"point3 P" '
+                f"[{x0:.6g} {y0:.6g} 0 {x1:.6g} {y0:.6g} 0 "
+                f"{x1:.6g} {y1:.6g} 0 {x0:.6g} {y1:.6g} 0]"
+            )
+            lines.append("AttributeEnd")
+    text = "\n".join(lines) + "\n"
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="imgtool")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -319,6 +385,23 @@ def main(argv=None):
     c.add_argument("--src-x", type=float, default=0.3127)
     c.add_argument("--src-y", type=float, default=0.3290)
     c.set_defaults(fn=cmd_whitebalance)
+
+    c = sub.add_parser("cat")
+    c.add_argument("input")
+    c.add_argument("--csv", action="store_true")
+    c.set_defaults(fn=cmd_cat)
+
+    c = sub.add_parser("scalenormalmap")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--scale", type=float, default=1.0)
+    c.set_defaults(fn=cmd_scalenormalmap)
+
+    c = sub.add_parser("makeemitters")
+    c.add_argument("input")
+    c.add_argument("--output", default=None)
+    c.add_argument("--downsample", type=int, default=1)
+    c.set_defaults(fn=cmd_makeemitters)
 
     c = sub.add_parser("bloom")
     c.add_argument("input")

@@ -260,3 +260,43 @@ def test_imgtool_makesky(tmp_path):
     assert upper > 0.01
     assert below < 0.01 * upper  # below horizon dark
     assert rgb.max() > 50.0  # the sun disk
+
+
+def test_imgtool_cat_scalenormalmap_makeemitters(tmp_path, capsys):
+    """New imgtool subcommands (imgtool cat/scalenormalmap/makeemitters,
+    cmd/imgtool.cpp:57-248)."""
+    import numpy as np
+
+    from pbrt_tpu.io.image import read_pfm, write_pfm
+    from pbrt_tpu.tools.imgtool import main as imgtool
+
+    src = tmp_path / "in.pfm"
+    img = np.arange(2 * 2 * 3, dtype=np.float32).reshape(2, 2, 3) / 12.0
+    write_pfm(str(src), img)
+
+    # cat prints every pixel
+    assert imgtool(["cat", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "(1, 1):" in out and "2 x 2" in out
+    assert imgtool(["cat", str(src), "--csv"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 4
+
+    # scalenormalmap: scale 1 keeps a valid normal map normalized
+    nm = tmp_path / "nm.pfm"
+    flat = np.tile(np.array([0.5, 0.5, 1.0], np.float32), (4, 4, 1))
+    write_pfm(str(nm), flat)
+    out_nm = tmp_path / "nm2.pfm"
+    assert imgtool(["scalenormalmap", str(nm), str(out_nm),
+                    "--scale", "0.5"]) == 0
+    dec = read_pfm(str(out_nm)) * 2.0 - 1.0
+    np.testing.assert_allclose(np.linalg.norm(dec, axis=-1), 1.0, atol=1e-5)
+    # flat normal stays flat
+    np.testing.assert_allclose(dec[..., 2], 1.0, atol=1e-5)
+
+    # makeemitters: emits one quad per bright pixel, parseable by our parser
+    scene_txt = tmp_path / "em.pbrt"
+    assert imgtool(["makeemitters", str(src),
+                    "--output", str(scene_txt)]) == 0
+    text = scene_txt.read_text()
+    assert text.count("AreaLightSource") == 4  # every pixel has energy
+    assert "trianglemesh" in text
