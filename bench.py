@@ -83,7 +83,14 @@ def worker() -> None:
     # Attach the Pallas small-scene intersector (ops/smallscene.py):
     # 31 -> 43 Mrays/s measured on this config.
     scene = scene.with_accel()
-    integrator = PathIntegrator(max_depth=max_depth)
+    # Russian roulette is counterproductive in the masked-lockstep design:
+    # killed rays free no kernel time (every lane still runs), they only
+    # reduce useful work per pass — measured 46 vs 60 Mrays/s at depth 5
+    # with identical wall time per pass and lower variance without RR. The
+    # reference's RR exists to save per-path CPU time; here the equivalent
+    # lever would be compaction, not termination.
+    integrator = PathIntegrator(max_depth=max_depth,
+                                rr_start_depth=max_depth)
     nx, ny = camera.resolution
     npix = nx * ny
     pixel = jnp.arange(npix, dtype=jnp.int32)
