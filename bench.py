@@ -72,11 +72,12 @@ def worker() -> None:
     from pbrt_tpu.scenes.cornell import cornell_box
 
     res = 256
-    spp = 96
-    # Large in-flight batches amortize the backend's per-dispatch floor:
-    # 4 -> 18 Mrays/s, 32 -> 29 Mrays/s measured (2.1M rays per bounce,
-    # ~the reference wavefront's 1M-sample in-flight budget x2).
-    samples_per_pass = 32
+    spp = 128
+    # Large in-flight batches amortize the backend's per-dispatch floor
+    # AND the XLA shading glue between Pallas kernel calls: 4 -> 18,
+    # 32 -> 65, 64 -> 74 Mrays/s measured (4.2M rays per bounce, ~the
+    # reference wavefront's 1M-sample in-flight budget x4; 96 regresses).
+    samples_per_pass = 64
     max_depth = 5
 
     scene, camera = cornell_box(resolution=(res, res))
