@@ -952,6 +952,31 @@ class PbrtParser:
             med = MediumBuffers.rgbgrid(
                 sagrid, ssgrid, blo, bhi, g=g, scale=scale
             )
+        elif mtype == "nanovdb":
+            # NanoVDBMedium (media.h:599): load the density grid from the
+            # .nvdb file; world bounds come from the grid, then the CTM.
+            fn = _get(p, "filename")
+            if not fn:
+                self.warnings.append(f"medium {name}: nanovdb needs filename")
+                return
+            from .nanovdb import read_nanovdb
+
+            gname = _get(p, "gridname", "density")
+            try:
+                nv = read_nanovdb(os.path.join(self.base_dir, fn), gname)
+            except (OSError, ValueError, KeyError) as e:
+                self.warnings.append(f"medium {name}: {e}")
+                return
+            corners = self._pts(np.asarray(
+                [nv.world_min, nv.world_max], np.float64
+            ))
+            blo = np.minimum(corners[0], corners[1])
+            bhi = np.maximum(corners[0], corners[1])
+            med = MediumBuffers.grid(
+                np.asarray(nv.values, np.float32), sa, ss, blo, bhi,
+                g=g, scale=scale,
+                le_scale=float(_get(p, "LeScale", 1.0)),
+            )
         else:
             self.warnings.append(f"medium type {mtype} unsupported; skipped")
             return
