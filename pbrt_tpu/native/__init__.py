@@ -22,17 +22,23 @@ _LIB = None
 _TRIED = False
 
 
+_SOURCES = ("tokenizer.cpp", "accel_build.cpp")
+
+
 def _build_lib():
-    src = os.path.join(_DIR, "tokenizer.cpp")
-    with open(src, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     cache = os.path.join(
         tempfile.gettempdir(), f"pbrt_tpu_native_{tag}.so"
     )
     if not os.path.exists(cache):
         tmp = cache + f".{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp] + srcs,
             check=True, capture_output=True,
         )
         os.replace(tmp, cache)
@@ -43,6 +49,11 @@ def _build_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_double),
         ctypes.c_longlong,
+    ]
+    lib.morton_order.restype = None
+    lib.morton_order.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int64),
     ]
     return lib
 
@@ -102,3 +113,26 @@ def tokenize_native(text: str):
             "utf-8", errors="surrogateescape"
         ))
     return toks
+
+
+def morton_order_native(centroids):
+    """Stable ascending-Morton permutation of (n, 3) float32 centroids.
+
+    C++ front half of the HLBVH build (aggregates.cpp:389-505 analogue);
+    bit-identical to the numpy path in accel/bvh.py (_morton3 +
+    argsort(kind="stable")). Returns an (n,) int64 array, or None when the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    cent = np.ascontiguousarray(centroids, np.float32)
+    n = cent.shape[0]
+    order = np.empty(n, np.int64)
+    if n:
+        lib.morton_order(
+            cent.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    return order

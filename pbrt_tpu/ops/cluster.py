@@ -79,7 +79,7 @@ def build_clusters(
     tri_light: np.ndarray | None = None,
 ) -> ClusterAccel:
     """Morton-sort triangles; pack 128-triangle clusters + AABBs + attrs."""
-    from ..accel.bvh import _morton3
+    from ..accel.bvh import morton_order
 
     tri_verts = np.asarray(tri_verts, np.float32)
     t = tri_verts.shape[0]
@@ -88,10 +88,7 @@ def build_clusters(
     if tri_light is None:
         tri_light = np.full((t,), -1, np.int32)
     cent = tri_verts.mean(axis=1)
-    lo = cent.min(axis=0)
-    hi = cent.max(axis=0)
-    norm = (cent - lo) / np.maximum(hi - lo, 1e-12)
-    order = np.argsort(_morton3(norm), kind="stable")
+    order = morton_order(cent)
     v = tri_verts[order]
 
     c = -(-t // _CLUSTER)

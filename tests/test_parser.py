@@ -354,3 +354,28 @@ WorldBegin
         return toks
 
     assert native == py_tokenize(text)
+
+
+def test_native_morton_order_matches_numpy():
+    """The C++ Morton radix-sort stage (native/accel_build.cpp) must produce
+    the numpy fallback's permutation bit-for-bit (stable tie order included),
+    so native and fallback builds yield identical accel tensors."""
+    from pbrt_tpu.accel.bvh import _morton3
+    from pbrt_tpu.native import morton_order_native
+
+    native_probe = morton_order_native(np.zeros((1, 3), np.float32))
+    if native_probe is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    for n in (1, 3, 257, 40000):
+        cent = (rng.standard_normal((n, 3)) * 5.0).astype(np.float32)
+        lo, hi = cent.min(0), cent.max(0)
+        norm = (cent - lo) / np.maximum(hi - lo, 1e-12)
+        ref = np.argsort(_morton3(norm), kind="stable")
+        assert np.array_equal(morton_order_native(cent), ref)
+    # Degenerate: identical centroids keep input (stable) order.
+    assert np.array_equal(
+        morton_order_native(np.ones((17, 3), np.float32)), np.arange(17)
+    )
