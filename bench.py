@@ -123,17 +123,20 @@ def worker() -> None:
     dt1 = time.perf_counter() - t0
     _partial["value"] = nrays_pass / max(dt1, 1e-9) / 1e6
 
+    # Timed run: keep every pass in flight (no host sync inside the loop —
+    # a float() per pass serializes dispatch over the TPU tunnel and was
+    # worth ~20% of measured throughput). Ray counts accumulate on device.
     t0 = time.perf_counter()
-    total_rays = 0.0
     acc = None
+    rays_dev = None
     for p in range(n_passes):
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
-        total_rays += float(nrays)
-        done = time.perf_counter() - t0
-        _partial["value"] = total_rays / max(done, 1e-9) / 1e6
+        rays_dev = nrays if rays_dev is None else rays_dev + nrays
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
+    total_rays = float(rays_dev)
+    _partial["value"] = total_rays / max(dt, 1e-9) / 1e6
 
     signal.alarm(0)
     _emit(total_rays / dt / 1e6)

@@ -40,6 +40,13 @@ class PathIntegrator:
     rr_start_depth: int = static_field(default=2)
     use_nee: bool = static_field(default=True)
     use_mis: bool = static_field(default=True)
+    # Tag-sorted shading dispatch (materials/sorted.py): the wavefront
+    # per-material kernel-specialization tier (surfscatter.cpp:39-58).
+    # Bit-identical results; pays an argsort + gather/scatter per bounce to
+    # stop charging every lane for every material family present — a win
+    # once the scene mixes expensive families (coated/hair/measured).
+    sorted_shading: bool = static_field(default=False)
+    sort_tile: int = static_field(default=8192)
 
     def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         """Estimate radiance along N camera rays. Returns (N, S)."""
@@ -203,8 +210,12 @@ class PathIntegrator:
                     is_ss[:, None], white, params["albedo_coeffs"]
                 )
 
-            # --- Next-event estimation (integrators.cpp SampleLd :727-805).
-            if self.use_nee and have_lights:
+            # --- Sampler draws + light sample for NEE, then ONE shading
+            # dispatch for {NEE f & pdf, BSDF sample}: lockstep masked
+            # evaluate-all by default, or tag-sorted per-family tiles
+            # (materials/sorted.py) when sorted_shading is set.
+            do_nee = self.use_nee and have_lights
+            if do_nee:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
                 up0, up1 = sampler.get_2d(pixel, sample_idx, dim0 + 1)
                 u_pos = jnp.stack([up0, up1], axis=-1)
@@ -212,10 +223,32 @@ class PathIntegrator:
                     isect.p, lam, u_sel, u_pos, n_ref=ns
                 )
                 wi_l = to_local(ls.wi, t1, t2, ns)
-                f_nee = bxdf.evaluate(params, wo_l, wi_l, lam) * jnp.abs(
-                    wi_l[..., 2:3]
-                )
-                pdf_b = bxdf.pdf(params, wo_l, wi_l)
+            uc = sampler.get_1d(pixel, sample_idx, dim0 + 2)
+            ub0, ub1 = sampler.get_2d(pixel, sample_idx, dim0 + 3)
+            u2 = jnp.stack([ub0, ub1], axis=-1)
+
+            def _shade(pp, oo):
+                out = {"bs": bxdf.sample(pp, oo["wo"], pp["lam"], oo["u2"], oo["uc"])}
+                if do_nee:
+                    out["f_nee"] = bxdf.evaluate(pp, oo["wo"], oo["wi"], pp["lam"])
+                    out["pdf_b"] = bxdf.pdf(pp, oo["wo"], oo["wi"])
+                return out
+
+            ops = {"wo": wo_l, "u2": u2, "uc": uc}
+            if do_nee:
+                ops["wi"] = wi_l
+            if self.sorted_shading:
+                from ..materials.sorted import shade_sorted
+
+                sh = shade_sorted(params, ops, _shade, tile=self.sort_tile)
+            else:
+                sh = _shade(params, ops)
+            bs = sh["bs"]
+
+            # --- Next-event estimation (integrators.cpp SampleLd :727-805).
+            if do_nee:
+                f_nee = sh["f_nee"] * jnp.abs(wi_l[..., 2:3])
+                pdf_b = sh["pdf_b"]
                 if self.use_mis:
                     w_nee = jnp.where(
                         ls.is_delta,
@@ -246,12 +279,8 @@ class PathIntegrator:
                 )
                 n_rays = n_rays + jnp.sum(need_shadow.astype(jnp.float32))
 
-            # --- BSDF sampling -> next ray (integrators.cpp:736-758).
-            uc = sampler.get_1d(pixel, sample_idx, dim0 + 2)
-            ub0, ub1 = sampler.get_2d(pixel, sample_idx, dim0 + 3)
-            bs = bxdf.sample(
-                params, wo_l, lam, jnp.stack([ub0, ub1], axis=-1), uc
-            )
+            # --- BSDF sampling -> next ray (integrators.cpp:736-758;
+            # bs was drawn in the shading dispatch above).
             wi_w = from_local(bs["wi"], t1, t2, ns)
             cos_wi = jnp.abs(bs["wi"][..., 2])
             ok = active & (bs["pdf"] > 0.0)
