@@ -276,8 +276,8 @@ class PbrtParser:
         mapping = {
             "independent": "independent", "random": "independent",
             "stratified": "stratified", "sobol": "sobol",
-            "paddedsobol": "sobol", "zsobol": "sobol", "halton": "halton",
-            "pmj02bn": "sobol",
+            "paddedsobol": "padded", "zsobol": "zsobol", "halton": "halton",
+            "pmj02bn": "pmj02bn",
         }
         self.sampler_kind = mapping.get(kind, "independent")
         self.spp = int(_get(p, "pixelsamples", 16))

@@ -20,11 +20,16 @@ material kind each bounce and processed in fixed-size tiles through a
     falls back to the usual masked evaluate-all branch.
 
 All BxDF evaluation is per-lane elementwise (the layered walk's RNG is keyed
-on (wo, wi, salt) bit patterns, not lane index), so the sorted path returns
-bit-identical results to the lockstep path, just without charging diffuse
-rays for hair code. vmap cannot replace the map: vmapping a `switch` lowers
-to predicated execution of every branch, which is exactly the masked design
-this tier exists to avoid.
+on (wo, wi, salt) bit patterns, not lane index), so the sorted path is
+semantically identical to the lockstep path, just without charging diffuse
+rays for hair code. Exact bit-equality is NOT guaranteed: the specialized
+branches are different XLA traces, so fusion/reassociation can differ at the
+ULP level, and for the stochastic layered walk a 1-ULP difference in the
+freshly sampled wi re-keys the walk RNG — still an unbiased estimate of the
+same integral, but not the same sample (tests gate deterministic leaves
+tightly and walk estimates statistically). vmap cannot replace the map:
+vmapping a `switch` lowers to predicated execution of every branch, which is
+exactly the masked design this tier exists to avoid.
 """
 
 from __future__ import annotations
@@ -71,7 +76,11 @@ _FAMILY_FLAGS = {
     MAT_SUBSURFACE: ("any_subsurface",),
     MAT_MEASURED: ("any_measured",),
     MAT_RETRO: ("any_retro",),
-    MAT_INTERFACE: (),  # pass-through; never shaded as a BxDF
+    # Interface lanes take the delta pass-through branch in bxdf.sample,
+    # which is only traced when any_interface_mat is set (bxdf.py:791);
+    # a uniform interface tile must keep that flag or its rays would get
+    # diffuse hemisphere sampling instead of wi=-wo transmission.
+    MAT_INTERFACE: ("any_interface_mat",),
 }
 
 # Which single families the scene's static flags can produce (MAT_MIX

@@ -379,3 +379,19 @@ def test_native_morton_order_matches_numpy():
     assert np.array_equal(
         morton_order_native(np.ones((17, 3), np.float32)), np.arange(17)
     )
+
+
+def test_sampler_directive_fidelity():
+    """zsobol / pmj02bn / paddedsobol must reach the sampler library as
+    themselves, not silently degrade to plain sobol (the library implements
+    all of them; ref base/sampler.h:39-46 variant list)."""
+    for pbrt_name, ours in (
+        ("zsobol", "zsobol"), ("pmj02bn", "pmj02bn"),
+        ("paddedsobol", "padded"), ("sobol", "sobol"),
+        ("halton", "halton"), ("stratified", "stratified"),
+    ):
+        src = CORNELL_PBRT.replace(
+            'Sampler "sobol"', f'Sampler "{pbrt_name}"'
+        )
+        _, _, settings = load_pbrt_string(src)
+        assert settings["sampler"] == ours, (pbrt_name, settings["sampler"])
