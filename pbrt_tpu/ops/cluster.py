@@ -1,30 +1,38 @@
-"""Pallas two-level ray-scene intersection: cluster culling + dense leaves.
+"""Pallas hierarchical ray-scene intersection: super-cluster culling +
+cluster culling + sub-group-gated dense leaves.
 
 The TPU-native answer to BVH traversal (SURVEY.md section 7 hard-part #1),
-replacing pointer chasing with two vector-friendly phases:
+replacing pointer chasing with vector-friendly culling tiers:
 
-  1. CULL: triangles are Morton-sorted and grouped into clusters of 128.
-     Cluster AABBs live with the *cluster axis on the 128-lane dimension*, so
-     one (8, 128) slab test evaluates 8 rays against 128 clusters; an
-     or-reduce over the tile's sub-groups yields a per-(tile, cluster) hit
-     mask with a handful of vector ops.
-  2. TEST: a fori_loop walks clusters; a lax.cond on the scalar any-reduce
-     skips missed ones (real branching, not masking). A hit cluster
-     is tested densely: (8 rays x 128 triangles) Moller-Trumbore per
-     sub-group, triangle components loaded as contiguous (1, 128) rows.
-     Closest-hit selection avoids per-lane gathers with a min-reduce plus an
-     equality-masked max-reduce over float-encoded primitive ids — and the
-     same masked reduce selects the hit's u, v, geometric normal, material
-     and light ids IN the kernel, so closest-hit assembly needs zero XLA
-     gathers (this backend lowers gathers per-element, ~3 ms / 64k rows).
+  1. SUPER-CULL: Morton-sorted triangles are grouped into clusters of 128
+     and clusters into super-clusters of 32 (4096 triangles). A fori_loop
+     walks supers; one (8, 128) slab test evaluates the whole 1024-ray tile
+     against the super AABB and a lax.cond skips missed supers — for a
+     100k-triangle scene a sorted beam tile touches a handful of the ~25
+     supers, so the per-cluster work below only runs where geometry is.
+  2. CULL: inside a hit super, a fori_loop walks its 32 clusters with the
+     same (8, 128) per-ray slab gate + lax.cond. The per-ray mask feeds the
+     next tier instead of being thrown away.
+  3. TEST: a hit cluster is tested densely, but gated per SUB-GROUP BLOCK:
+     the per-ray box mask reduces to a (1, 128) per-sub-group mask, and the
+     128 sub-groups are processed in 16 blocks of 8 (64 rays); a block whose
+     rays all miss the cluster box (or already hold a closer hit) skips its
+     Moller-Trumbore work behind one scalar lax.cond. Within a live block,
+     (8 rays x 128 triangles) tests run per sub-group, triangle components
+     loaded as contiguous (1, 128) rows. Closest-hit selection avoids
+     per-lane gathers with a min-reduce plus an equality-masked reduce over
+     float-encoded primitive ids — the same masked reduce selects the hit's
+     u, v, geometric normal, material and light ids IN the kernel, so
+     closest-hit assembly needs zero XLA gathers (this backend lowers
+     gathers per-element, ~3 ms / 64k rows).
 
 Shadow (any-hit) rays run a cut-down mode: no attribute selection, and a
-ray's t_best collapses to 0 on its first hit so every later cluster fails
-the (tmin < t_best) gate for that ray — early-out without divergence.
+ray's t_best collapses to 0 on its first hit so every later super/cluster
+fails the (tmin < t_best) gate for that ray — early-out without divergence.
 
 No gathers, no per-ray stacks; worst case degrades to the dense tester,
-best case skips all non-overlapping clusters. Ray tiles are 1024 rays
-(sublane-major (8, 128) layout).
+best case skips everything outside the tile's beam. Ray tiles are 1024
+sorted rays (sublane-major (8, 128) layout; see accel.api.ray_sort_perm).
 
 Reference analogue: the role of BVHAggregate/OptiX GAS traversal
 (/root/reference/src/pbrt/cpu/aggregates.cpp:529, gpu/aggregate.cpp).
@@ -43,8 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.pytree import pytree, static_field
 
 _CLUSTER = 128  # triangles per cluster (lane width)
+_SUPER = 32  # clusters per super-cluster (4096 triangles)
 _TILE = 1024  # rays per kernel tile
 _SUB = _TILE // 8  # ray sub-groups of 8 (sublane width)
+_BLK = 8  # sub-groups per dense-test cond block (64 rays)
 _BIG = 3e38
 
 
@@ -70,7 +80,12 @@ class ClusterAccel:
     lightf: jnp.ndarray
     # Cluster AABB rows: (C, 8) = [lox loy loz hix hiy hiz 0 0].
     boxes: jnp.ndarray
+    # Super-cluster AABB rows: (S, 8); pad supers hold a far degenerate
+    # point box so they mostly fail the gate (their cluster range is empty
+    # anyway — the inner loop bound clamps to n_clusters).
+    sboxes: jnp.ndarray
     n_clusters: int = static_field(default=0)
+    n_supers: int = static_field(default=0)
 
 
 def build_clusters(
@@ -78,7 +93,8 @@ def build_clusters(
     tri_mat: np.ndarray | None = None,
     tri_light: np.ndarray | None = None,
 ) -> ClusterAccel:
-    """Morton-sort triangles; pack 128-triangle clusters + AABBs + attrs."""
+    """Morton-sort triangles; pack 128-triangle clusters + AABBs + attrs,
+    then 32-cluster super-AABBs."""
     from ..accel.bvh import morton_order
 
     tri_verts = np.asarray(tri_verts, np.float32)
@@ -105,6 +121,20 @@ def build_clusters(
     boxes = np.concatenate(
         [cl_lo, cl_hi, np.zeros((c, 2), np.float32)], axis=1
     )
+
+    # Super-cluster AABBs over runs of 32 Morton-adjacent clusters.
+    s = -(-c // _SUPER)
+    sp = s * _SUPER
+    slo = np.full((sp, 3), np.inf, np.float32)
+    shi = np.full((sp, 3), -np.inf, np.float32)
+    slo[:c] = cl_lo
+    shi[:c] = cl_hi
+    slo = slo.reshape(s, _SUPER, 3).min(axis=1)
+    shi = shi.reshape(s, _SUPER, 3).max(axis=1)
+    pad_s = ~np.isfinite(slo[:, 0])
+    slo[pad_s] = 2e30
+    shi[pad_s] = 2e30
+    sboxes = np.concatenate([slo, shi, np.zeros((s, 2), np.float32)], axis=1)
 
     e1 = vp[:, :, 1] - vp[:, :, 0]
     e2 = vp[:, :, 2] - vp[:, :, 0]
@@ -138,11 +168,14 @@ def build_clusters(
         matf=jnp.asarray((matp + 1).astype(np.float32).reshape(c, _CLUSTER)),
         lightf=jnp.asarray((lightp + 1).astype(np.float32).reshape(c, _CLUSTER)),
         boxes=jnp.asarray(boxes),
+        sboxes=jnp.asarray(sboxes),
         n_clusters=c,
+        n_supers=s,
     )
 
 
 def _cluster_kernel(
+    sboxes_ref,  # (S, 8) super AABB rows
     boxes_ref,  # (C, 8) cluster AABB rows
     v0x_ref, v0y_ref, v0z_ref,
     e1x_ref, e1y_ref, e1z_ref,
@@ -152,6 +185,7 @@ def _cluster_kernel(
     t_out, prim_out, u_out, v_out, n0_out, n1_out, n2_out, mat_out, light_out,
     *,
     n_clusters: int,
+    n_supers: int,
     any_hit: bool,
 ):
     eps = 1e-12
@@ -163,16 +197,11 @@ def _cluster_kernel(
     tmax = tmax_ref[:]
 
     n_attr = 7  # u, v, nx, ny, nz, mat, light
+    n_blocks = _SUB // _BLK
 
-    # ---- Per-cluster: vectorized AABB gate, then dense triangle test.
-    def cluster_body(c, carry):
-        t_best, prim, attrs = carry
-        lox = boxes_ref[c, 0]
-        loy = boxes_ref[c, 1]
-        loz = boxes_ref[c, 2]
-        hix = boxes_ref[c, 3]
-        hiy = boxes_ref[c, 4]
-        hiz = boxes_ref[c, 5]
+    def slab(lox, loy, loz, hix, hiy, hiz, t_best):
+        """Per-ray AABB overlap mask (8, 128), including the closer-hit
+        prune (tmin < t_best)."""
         tx0 = (lox - ox) * inv_dx
         tx1 = (hix - ox) * inv_dx
         ty0 = (loy - oy) * inv_dy
@@ -187,7 +216,17 @@ def _cluster_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        m = jnp.any((tmx >= tmin) & (tmin < t_best))
+        return (tmx >= tmin) & (tmin < t_best)
+
+    # ---- Dense cluster test, gated per 64-ray block.
+    def cluster_body(c, carry):
+        t_best, prim, attrs = carry
+        rayhit = slab(
+            boxes_ref[c, 0], boxes_ref[c, 1], boxes_ref[c, 2],
+            boxes_ref[c, 3], boxes_ref[c, 4], boxes_ref[c, 5], t_best,
+        )
+        bm = jnp.max(rayhit.astype(jnp.float32), axis=0, keepdims=True)
+        m = jnp.max(bm) > 0.0
 
         def test(args):
             t_best, prim, attrs = args
@@ -210,10 +249,9 @@ def _cluster_kernel(
                     matf_ref[pl.ds(c, 1), :],
                     lightf_ref[pl.ds(c, 1), :],
                 ]
-            t_cols = []
-            p_cols = []
-            a_cols = [[] for _ in range(n_attr)]
-            for rg in range(_SUB):
+
+            def sub_group(rg, t_best, prim, attrs):
+                """One (8 rays x 128 triangles) MT column -> (8, 1) cols."""
                 oxg = ox[:, rg : rg + 1]
                 oyg = oy[:, rg : rg + 1]
                 ozg = oz[:, rg : rg + 1]
@@ -244,19 +282,17 @@ def _cluster_kernel(
                     & (tk < tb)
                 )
                 if any_hit:
-                    # First hit wins: collapse t to 0 so later clusters
-                    # fail the (tmin < t_best) gate for this ray.
+                    # First hit wins: collapse t to 0 so later tiers fail
+                    # the (tmin < t_best) gate for this ray.
                     got = jnp.any(hit, axis=1, keepdims=True)  # (8, 1)
-                    t_cols.append(jnp.where(got, 0.0, tb))
-                    p_cols.append(
-                        jnp.where(
-                            got,
-                            jnp.max(jnp.where(hit, pid, 0.0), axis=1,
-                                    keepdims=True),
-                            prim[:, rg : rg + 1],
-                        )
+                    t_col = jnp.where(got, 0.0, tb)
+                    p_col = jnp.where(
+                        got,
+                        jnp.max(jnp.where(hit, pid, 0.0), axis=1,
+                                keepdims=True),
+                        prim[:, rg : rg + 1],
                     )
-                    continue
+                    return t_col, p_col, None
                 tkh = jnp.where(hit, tk, _BIG)
                 tmin_new = jnp.min(tkh, axis=1, keepdims=True)  # (8,1)
                 better = tmin_new < tb
@@ -267,34 +303,100 @@ def _cluster_kernel(
                 # Resolve exact-t ties to ONE triangle so every attribute
                 # comes from the same primitive.
                 eq1 = eq & (pid == pid_sel)
-                t_cols.append(jnp.where(better, tmin_new, tb))
-                p_cols.append(
-                    jnp.where(better, pid_sel, prim[:, rg : rg + 1])
-                )
+                t_col = jnp.where(better, tmin_new, tb)
+                p_col = jnp.where(better, pid_sel, prim[:, rg : rg + 1])
+                a_cols = []
                 for ai in range(n_attr):
                     row = (uk, vk)[ai] if ai < 2 else attr_rows[ai]
                     sel = jnp.sum(
                         jnp.where(eq1, row, 0.0), axis=1, keepdims=True
                     )
-                    a_cols[ai].append(
+                    a_cols.append(
                         jnp.where(better, sel, attrs[ai][:, rg : rg + 1])
                     )
+                return t_col, p_col, a_cols
+
+            t_blocks, p_blocks = [], []
+            a_blocks = [[] for _ in range(n_attr)]
+            for b in range(n_blocks):
+                lo, hi = b * _BLK, (b + 1) * _BLK
+                pred = jnp.max(bm[:, lo:hi]) > 0.0
+
+                def hit_fn(_, lo=lo, hi=hi):
+                    tc, pc = [], []
+                    ac = [[] for _ in range(n_attr)]
+                    for rg in range(lo, hi):
+                        t_col, p_col, a_cols = sub_group(
+                            rg, t_best, prim, attrs
+                        )
+                        tc.append(t_col)
+                        pc.append(p_col)
+                        if not any_hit:
+                            for ai in range(n_attr):
+                                ac[ai].append(a_cols[ai])
+                    if any_hit:
+                        return (
+                            jnp.concatenate(tc, axis=1),
+                            jnp.concatenate(pc, axis=1),
+                            (),
+                        )
+                    return (
+                        jnp.concatenate(tc, axis=1),
+                        jnp.concatenate(pc, axis=1),
+                        tuple(
+                            jnp.concatenate(ac[ai], axis=1)
+                            for ai in range(n_attr)
+                        ),
+                    )
+
+                def miss_fn(_, lo=lo, hi=hi):
+                    if any_hit:
+                        return t_best[:, lo:hi], prim[:, lo:hi], ()
+                    return (
+                        t_best[:, lo:hi],
+                        prim[:, lo:hi],
+                        tuple(attrs[ai][:, lo:hi] for ai in range(n_attr)),
+                    )
+
+                tb8, pb8, ab8 = jax.lax.cond(pred, hit_fn, miss_fn, None)
+                t_blocks.append(tb8)
+                p_blocks.append(pb8)
+                for ai in range(n_attr):
+                    if not any_hit:
+                        a_blocks[ai].append(ab8[ai])
             new_attrs = attrs if any_hit else tuple(
-                jnp.concatenate(a_cols[ai], axis=1) for ai in range(n_attr)
+                jnp.concatenate(a_blocks[ai], axis=1)
+                for ai in range(n_attr)
             )
             return (
-                jnp.concatenate(t_cols, axis=1),
-                jnp.concatenate(p_cols, axis=1),
+                jnp.concatenate(t_blocks, axis=1),
+                jnp.concatenate(p_blocks, axis=1),
                 new_attrs,
             )
 
         return jax.lax.cond(m, test, lambda a: a, (t_best, prim, attrs))
 
+    # ---- Super-cluster walk: one slab test gates 4096 triangles.
+    def super_body(s, carry):
+        t_best = carry[0]
+        sh = slab(
+            sboxes_ref[s, 0], sboxes_ref[s, 1], sboxes_ref[s, 2],
+            sboxes_ref[s, 3], sboxes_ref[s, 4], sboxes_ref[s, 5], t_best,
+        )
+        m = jnp.any(sh)
+
+        def walk(args):
+            lo = s * _SUPER
+            hi = jnp.minimum(lo + _SUPER, n_clusters)
+            return jax.lax.fori_loop(lo, hi, cluster_body, args)
+
+        return jax.lax.cond(m, walk, lambda a: a, carry)
+
     t_best = tmax
     prim = jnp.zeros_like(tmax)
     attrs = tuple(jnp.zeros_like(tmax) for _ in range(n_attr))
     t_best, prim, attrs = jax.lax.fori_loop(
-        0, n_clusters, cluster_body, (t_best, prim, attrs)
+        0, n_supers, super_body, (t_best, prim, attrs)
     )
     t_out[:] = t_best
     prim_out[:] = prim
@@ -337,19 +439,22 @@ def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _cluster_kernel, n_clusters=accel.n_clusters, any_hit=any_hit
+        _cluster_kernel,
+        n_clusters=accel.n_clusters,
+        n_supers=accel.n_supers,
+        any_hit=any_hit,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[full] * 16 + [ray_spec] * 7,
+        in_specs=[full] * 17 + [ray_spec] * 7,
         out_specs=[ray_spec] * 9,
         out_shape=[
             jax.ShapeDtypeStruct((8, npad // 8), jnp.float32) for _ in range(9)
         ],
         interpret=interpret,
     )(
-        accel.boxes,
+        accel.sboxes, accel.boxes,
         accel.v0x, accel.v0y, accel.v0z,
         accel.e1x, accel.e1y, accel.e1z,
         accel.e2x, accel.e2y, accel.e2z, accel.pid,
