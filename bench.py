@@ -133,9 +133,15 @@ def worker() -> None:
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
         rays_dev = nrays if rays_dev is None else rays_dev + nrays
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+        # Watchdog progress: host-side elapsed + dispatched-pass estimate
+        # (no device sync — dispatch is async, so this under-counts only
+        # the in-flight tail if the alarm fires mid-run).
+        _partial["value"] = (
+            (p + 1) * nrays_pass / max(time.perf_counter() - t0, 1e-9) / 1e6
+        )
+    # Real sync: on the tunneled backend only a host readback blocks.
     total_rays = float(rays_dev)
+    dt = time.perf_counter() - t0
     _partial["value"] = total_rays / max(dt, 1e-9) / 1e6
 
     signal.alarm(0)

@@ -21,17 +21,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from pbrt_tpu.accel.api import ray_sort_perm  # noqa: E402
 from pbrt_tpu.ops.cluster import cluster_intersect  # noqa: E402
+from pbrt_tpu.ops.pairs import pairs_intersect  # noqa: E402
 from pbrt_tpu.render import camera_rays  # noqa: E402
 from pbrt_tpu.scenes.meshes import killeroo_class_scene  # noqa: E402
 
 
 def time_it(fn, *args, n=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out[0]))  # real sync: block_until_ready lies on axon
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out[0]))
     return (time.perf_counter() - t0) / n
 
 
@@ -47,16 +48,20 @@ def main():
     o, d, _ = camera_rays(camera, pixel, sample, jnp.int32(0))
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
+    import os
+    impl = {"cluster": cluster_intersect, "pairs": pairs_intersect}[
+        os.environ.get("IMPL", "pairs")]
+
     @jax.jit
     def closest_sorted(o, d, tmax):
         perm, invp = ray_sort_perm(o, d)
-        res = cluster_intersect(acc, o[perm], d[perm], tmax[perm])
+        res = impl(acc, o[perm], d[perm], tmax[perm])
         return res["t"][invp], res["prim"][invp]
 
     @jax.jit
     def anyhit_sorted(o, d, tmax):
         perm, invp = ray_sort_perm(o, d)
-        res = cluster_intersect(acc, o[perm], d[perm], tmax[perm],
+        res = impl(acc, o[perm], d[perm], tmax[perm],
                                 any_hit=True)
         return (res["prim"] > 0)[invp]
 
