@@ -1,18 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: Cornell box (BASELINE.json config 1) forward render throughput.
+"""Benchmark: BASELINE.json configs on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = Mrays/s on one chip, counting live closest-hit + shadow-ray queries
-(the quantity the reference's wavefront kernels dispatch per bounce).
-vs_baseline is against the 50 Mrays/s/chip north star (BASELINE.md).
+Headline (the ONE JSON line's "value"): Cornell box (config 1) forward
+render throughput at 8 hero-wavelength lanes, Mrays/s/chip, counting live
+closest-hit + shadow-ray queries (the quantity the reference's wavefront
+kernels dispatch per bounce). vs_baseline is against the 50 Mrays/s/chip
+north star (BASELINE.md).
 
-Hardened against this sandbox's failure modes (round-1 bench rc=124, no
-output): the measurement runs in a child process with a timeout + one retry
-(the TPU claim can hang for minutes right after a killed TPU process — the
-second attempt normally succeeds), the child keeps a best-so-far partial
-result that a SIGALRM watchdog prints if the full run overruns, and the JAX
-persistent compilation cache turns the 20-40 s remote first-compile into a
-warm start on the driver's run.
+Secondary metrics ride in "extra": config 1 at the 32-lane library default,
+config 1 forward+backward (jax.value_and_grad over albedo + emission — the
+north star is "fwd+bwd >= 50"), and forward numbers for config 2
+(killeroo-class 122k-tri mesh, cluster intersector), config 3 (1024-light
+hall, power light sampler) and config 4 (procedural cloud, VolPath + DDA
+majorants). Each runs in its own child process (spectral lane width is
+fixed at import) under a per-mode timeout; whatever finished by the parent
+deadline is reported.
+
+Timing note: on the tunneled TPU backend `block_until_ready` does NOT
+synchronize; every measurement ends with a host readback of a device
+scalar, which does.
 """
 
 from __future__ import annotations
@@ -25,45 +31,31 @@ import sys
 import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-CHILD_TIMEOUT_S = 180.0  # per-attempt budget
-PARENT_BUDGET_S = 520.0  # total stay-under-driver-timeout budget
-WATCHDOG_S = 165.0  # child-internal partial-result alarm
+PARENT_BUDGET_S = 520.0
+HEADLINE_TIMEOUT_S = 180.0
+EXTRA_TIMEOUT_S = 150.0
+WATCHDOG_S = 165.0  # child-internal partial-result alarm (headline mode)
 
 _partial = {"value": 0.0}
 
 
-def _emit(mrays: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_forward_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / 50.0, 4),
-            }
-        ),
-        flush=True,
-    )
+def _sync(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
 
 
-def worker() -> None:
-    """Measure in-process; print the JSON line (partial on watchdog alarm)."""
-
-    def on_alarm(signum, frame):
-        # Emit the best partial if we measured anything; otherwise exit
-        # nonzero-silent so the parent retries (e.g. TPU claim hang).
-        if _partial["value"] > 0.0:
-            _emit(_partial["value"])
-            os._exit(0)
-        os._exit(3)
-
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(int(WATCHDOG_S))
-
+def _setup_jax():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
+    """Forward Cornell render; returns (mrays/s, ray count, seconds)."""
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from pbrt_tpu.films.rgb import spectrum_to_rgb
@@ -71,27 +63,11 @@ def worker() -> None:
     from pbrt_tpu.render import camera_rays
     from pbrt_tpu.scenes.cornell import cornell_box
 
-    res = 256
-    spp = 128
-    # Large in-flight batches amortize the backend's per-dispatch floor
-    # AND the XLA shading glue between Pallas kernel calls: 4 -> 18,
-    # 32 -> 65, 64 -> 74 Mrays/s measured (4.2M rays per bounce, ~the
-    # reference wavefront's 1M-sample in-flight budget x4; 96 regresses).
-    samples_per_pass = 64
-    max_depth = 5
-
     scene, camera = cornell_box(resolution=(res, res))
-    # Attach the Pallas small-scene intersector (ops/smallscene.py):
-    # 31 -> 43 Mrays/s measured on this config.
     scene = scene.with_accel()
-    # Russian roulette is counterproductive in the masked-lockstep design:
-    # killed rays free no kernel time (every lane still runs), they only
-    # reduce useful work per pass — measured 46 vs 60 Mrays/s at depth 5
-    # with identical wall time per pass and lower variance without RR. The
-    # reference's RR exists to save per-path CPU time; here the equivalent
-    # lever would be compaction, not termination.
-    integrator = PathIntegrator(max_depth=max_depth,
-                                rr_start_depth=max_depth)
+    # No Russian roulette inside the fixed-depth loop: killed rays free no
+    # kernel time in the masked-lockstep design (see round-2 notes).
+    integrator = PathIntegrator(max_depth=max_depth, rr_start_depth=max_depth)
     nx, ny = camera.resolution
     npix = nx * ny
     pixel = jnp.arange(npix, dtype=jnp.int32)
@@ -100,7 +76,8 @@ def worker() -> None:
 
     @jax.jit
     def render_pass(scene, pass_idx):
-        sample_b = jnp.repeat(pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix)
+        sample_b = jnp.repeat(
+            pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix)
         o, d, wl = camera_rays(camera, pixel_b, sample_b, jnp.int32(0))
         radiance, stats = integrator.trace_with_stats(
             scene, o, d, wl, pixel_b, sample_b, jnp.int32(0)
@@ -110,22 +87,9 @@ def worker() -> None:
         return img, stats["rays"]
 
     n_passes = spp // samples_per_pass
-
-    # Warmup / compile (cached across runs via the persistent cache).
     img, nrays_pass = render_pass(scene, jnp.int32(0))
-    jax.block_until_ready(img)
-    nrays_pass = float(nrays_pass)
+    nrays_pass = _sync(nrays_pass)
 
-    # Quick partial estimate from one timed pass, then the full run.
-    t0 = time.perf_counter()
-    img, _ = render_pass(scene, jnp.int32(1))
-    jax.block_until_ready(img)
-    dt1 = time.perf_counter() - t0
-    _partial["value"] = nrays_pass / max(dt1, 1e-9) / 1e6
-
-    # Timed run: keep every pass in flight (no host sync inside the loop —
-    # a float() per pass serializes dispatch over the TPU tunnel and was
-    # worth ~20% of measured throughput). Ray counts accumulate on device.
     t0 = time.perf_counter()
     acc = None
     rays_dev = None
@@ -133,64 +97,253 @@ def worker() -> None:
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
         rays_dev = nrays if rays_dev is None else rays_dev + nrays
-        # Watchdog progress: host-side elapsed + dispatched-pass estimate
-        # (no device sync — dispatch is async, so this under-counts only
-        # the in-flight tail if the alarm fires mid-run).
         _partial["value"] = (
             (p + 1) * nrays_pass / max(time.perf_counter() - t0, 1e-9) / 1e6
         )
-    # Real sync: on the tunneled backend only a host readback blocks.
-    total_rays = float(rays_dev)
+    total_rays = _sync(rays_dev)
     dt = time.perf_counter() - t0
-    _partial["value"] = total_rays / max(dt, 1e-9) / 1e6
+    mrays = total_rays / dt / 1e6
+    _partial["value"] = mrays
+    return mrays
 
+
+def _cornell_fwdbwd(res=256, spp=16, samples_per_pass=4, max_depth=5):
+    """Forward+backward: value_and_grad over albedo coeffs + light scale.
+
+    Mrays/s counts the FORWARD rays dispatched per pass divided by the
+    full fwd+bwd wall time (the reference-style accounting for training
+    throughput).
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from pbrt_tpu.films.rgb import spectrum_to_rgb
+    from pbrt_tpu.models.path import PathIntegrator
+    from pbrt_tpu.render import camera_rays
+    from pbrt_tpu.scenes.cornell import cornell_box
+
+    scene, camera = cornell_box(resolution=(res, res))
+    scene = scene.with_accel()
+    integrator = PathIntegrator(max_depth=max_depth, rr_start_depth=max_depth)
+    nx, ny = camera.resolution
+    npix = nx * ny
+    pixel = jnp.arange(npix, dtype=jnp.int32)
+    k = samples_per_pass
+    pixel_b = jnp.tile(pixel, (k,))
+    target = jnp.full((npix * k, 3), 0.25, jnp.float32)
+
+    @jax.jit
+    def count_pass(scene):
+        sample_b = jnp.repeat(jnp.arange(k, dtype=jnp.int32), npix)
+        o, d, wl = camera_rays(camera, pixel_b, sample_b, jnp.int32(0))
+        _, stats = integrator.trace_with_stats(
+            scene, o, d, wl, pixel_b, sample_b, jnp.int32(0)
+        )
+        return stats["rays"]
+
+    @jax.jit
+    def grad_pass(albedo_coeffs, area_scale, pass_idx):
+        def loss_fn(albedo_coeffs, area_scale):
+            s = scene.replace(
+                materials=scene.materials.replace(
+                    albedo_coeffs=albedo_coeffs),
+                lights=scene.lights.replace(area_scale=area_scale),
+            )
+            sample_b = jnp.repeat(
+                pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix)
+            o, d, wl = camera_rays(camera, pixel_b, sample_b, jnp.int32(0))
+            radiance = integrator.trace(
+                s, o, d, wl, pixel_b, sample_b, jnp.int32(0))
+            rgb = spectrum_to_rgb(radiance, wl)
+            return jnp.mean((rgb - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            albedo_coeffs, area_scale)
+        return loss, grads
+
+    nrays_pass = _sync(count_pass(scene))
+    ac = scene.materials.albedo_coeffs
+    ls = scene.lights.area_scale
+    loss, grads = grad_pass(ac, ls, jnp.int32(0))
+    _sync(loss)
+
+    n_passes = spp // samples_per_pass
+    t0 = time.perf_counter()
+    acc = None
+    for p in range(n_passes):
+        loss, grads = grad_pass(ac, ls, jnp.int32(p))
+        acc = loss if acc is None else acc + loss
+    _sync(acc)
+    dt = time.perf_counter() - t0
+    return n_passes * nrays_pass / dt / 1e6
+
+
+def _scene_fwd(builder, res, spp, samples_per_pass, max_depth,
+               integrator_name="path"):
+    """Generic forward throughput on a scene builder."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from pbrt_tpu.films.rgb import spectrum_to_rgb
+    from pbrt_tpu.render import camera_rays
+
+    scene, camera = builder(resolution=(res, res))
+    if integrator_name == "volpath":
+        from pbrt_tpu.models.volpath import VolPathIntegrator
+
+        integrator = VolPathIntegrator(max_depth=max_depth, use_dda=True)
+    else:
+        from pbrt_tpu.models.path import PathIntegrator
+
+        integrator = PathIntegrator(max_depth=max_depth,
+                                    rr_start_depth=max_depth)
+    nx, ny = camera.resolution
+    npix = nx * ny
+    pixel = jnp.arange(npix, dtype=jnp.int32)
+    k = samples_per_pass
+    pixel_b = jnp.tile(pixel, (k,))
+
+    @jax.jit
+    def render_pass(scene, pass_idx):
+        sample_b = jnp.repeat(
+            pass_idx * k + jnp.arange(k, dtype=jnp.int32), npix)
+        o, d, wl = camera_rays(camera, pixel_b, sample_b, jnp.int32(0))
+        radiance, stats = integrator.trace_with_stats(
+            scene, o, d, wl, pixel_b, sample_b, jnp.int32(0)
+        )
+        rgb = spectrum_to_rgb(radiance, wl)
+        img = jnp.mean(rgb.reshape(k, ny, nx, 3), axis=0)
+        return img, stats["rays"]
+
+    n_passes = max(1, spp // samples_per_pass)
+    img, nrays = render_pass(scene, jnp.int32(0))
+    _sync(nrays)
+    t0 = time.perf_counter()
+    acc = None
+    rays_dev = None
+    for p in range(n_passes):
+        img, nrays = render_pass(scene, jnp.int32(p))
+        acc = img if acc is None else acc + img
+        rays_dev = nrays if rays_dev is None else rays_dev + nrays
+    total = _sync(rays_dev)
+    dt = time.perf_counter() - t0
+    return total / dt / 1e6
+
+
+def _mode_killeroo():
+    from pbrt_tpu.scenes.meshes import killeroo_class_scene
+
+    return _scene_fwd(killeroo_class_scene, 512, 8, 4, 5)
+
+
+def _mode_manylight():
+    from pbrt_tpu.scenes.manylight import manylight_scene
+
+    return _scene_fwd(manylight_scene, 256, 16, 8, 4)
+
+
+def _mode_cloud():
+    from pbrt_tpu.scenes.cloud import cloud_scene
+
+    return _scene_fwd(cloud_scene, 128, 16, 8, 6, integrator_name="volpath")
+
+
+MODES = {
+    "c1_fwd8": _cornell,
+    "c1_fwd32": _cornell,
+    "c1_fwdbwd8": _cornell_fwdbwd,
+    "c2_killeroo": _mode_killeroo,
+    "c3_manylight": _mode_manylight,
+    "c4_cloud": _mode_cloud,
+}
+
+
+def worker(mode: str) -> None:
+    """Measure one mode in-process; print '<mode> <mrays>' on success."""
+
+    def on_alarm(signum, frame):
+        if mode == "c1_fwd8" and _partial["value"] > 0.0:
+            print(f"{mode} {_partial['value']:.3f}", flush=True)
+            os._exit(0)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(WATCHDOG_S))
+    mrays = MODES[mode]()
     signal.alarm(0)
-    _emit(total_rays / dt / 1e6)
+    print(f"{mode} {mrays:.3f}", flush=True)
+
+
+def _run_child(mode: str, lanes: int, timeout: float):
+    env = dict(os.environ)
+    env["PBRT_TPU_NSPECTRUM"] = str(lanes)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", mode],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            timeout=timeout,
+            env=env,
+        )
+        out = proc.stdout or b""
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+    for line in out.decode("utf-8", "replace").splitlines():
+        parts = line.strip().split()
+        if len(parts) == 2 and parts[0] == mode:
+            try:
+                v = float(parts[1])
+                if v > 0.0:
+                    return v
+            except ValueError:
+                pass
+    return None
 
 
 def main() -> None:
-    """Parent: run the worker in a child with timeout + retry, relay its JSON."""
     deadline = time.monotonic() + PARENT_BUDGET_S
-    for attempt in range(3):
-        budget = min(CHILD_TIMEOUT_S, max(10.0, deadline - time.monotonic()))
-        try:
-            env = dict(os.environ)
-            # 8 hero-wavelength lanes: 2x the reference's 4 spectral
-            # samples (pbrt NSpectrumSamples), and 54 vs 40 Mrays/s against
-            # the 32-lane library default (image means agree to 1e-4).
-            env.setdefault("PBRT_TPU_NSPECTRUM", "8")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker"],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
-                timeout=budget,
-                env=env,
-            )
-        except subprocess.TimeoutExpired as e:
-            out = e.stdout or b""
-        else:
-            out = proc.stdout or b""
-        best = None
-        for line in out.decode("utf-8", "replace").splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                try:
-                    if json.loads(line).get("value", 0.0) > 0.0:
-                        best = line
-                except (ValueError, AttributeError):
-                    pass
-        if best is not None:
-            print(best, flush=True)
-            return
-        if time.monotonic() > deadline - 30.0:
+    headline = None
+    # Headline with one retry (TPU claim can hang right after a killed
+    # process; the second attempt normally succeeds).
+    for _ in range(3):
+        budget = min(HEADLINE_TIMEOUT_S, max(10.0, deadline - time.monotonic()))
+        headline = _run_child("c1_fwd8", 8, budget)
+        if headline is not None or time.monotonic() > deadline - 60.0:
             break
-    # Both attempts produced nothing (claim hang twice): emit a zero so the
-    # driver records *a* number rather than a timeout.
-    _emit(0.0)
+
+    extra = {}
+    plan = [
+        ("c1_fwd32", 32, "cornell_fwd_32lane"),
+        ("c1_fwdbwd8", 8, "cornell_fwdbwd_8lane"),
+        ("c2_killeroo", 8, "killeroo_fwd"),
+        ("c3_manylight", 8, "manylight_fwd"),
+        ("c4_cloud", 8, "cloud_fwd"),
+    ]
+    for mode, lanes, key in plan:
+        remaining = deadline - time.monotonic()
+        if remaining < 45.0:
+            break
+        v = _run_child(mode, lanes, min(EXTRA_TIMEOUT_S, remaining))
+        if v is not None:
+            extra[key] = round(v, 3)
+
+    value = headline if headline is not None else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_forward_throughput",
+                "value": round(value, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(value / 50.0, 4),
+                "extra": extra,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
-        worker()
+        worker(sys.argv[sys.argv.index("--worker") + 1])
     else:
         main()

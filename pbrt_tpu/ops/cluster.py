@@ -410,8 +410,8 @@ def _cluster_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
-                      interpret: bool = False):
+def _cluster_intersect_impl(accel: ClusterAccel, o, d, tmax,
+                            any_hit: bool = False, interpret: bool = False):
     """Full hit query.
 
     Returns a dict with per-ray 't', 'prim' (int32, -1 = miss) and, for
@@ -482,3 +482,11 @@ def cluster_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
         "mat": jnp.where(miss, 0, matf.astype(jnp.int32) - 1),
         "light": jnp.where(miss, -1, lightf.astype(jnp.int32) - 1),
     }
+
+
+# Geometry is detached under reverse-mode AD (see ops/detach.py): gradients
+# flow through shading at fixed hit points; the Pallas kernel itself has no
+# autodiff rule.
+from .detach import detached_query  # noqa: E402
+
+cluster_intersect = detached_query(_cluster_intersect_impl)

@@ -370,8 +370,8 @@ def _pairs_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def pairs_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
-                    interpret: bool = False):
+def _pairs_intersect_impl(accel: ClusterAccel, o, d, tmax,
+                          any_hit: bool = False, interpret: bool = False):
     """Full hit query over the split-path kernel.
 
     Same contract as ops.cluster.cluster_intersect: dict with per-ray 't',
@@ -482,3 +482,9 @@ def pairs_intersect(accel: ClusterAccel, o, d, tmax, any_hit: bool = False,
 # until then ops/cluster.py remains the production default and this kernel
 # is an opt-in testbed (accel/api.py does not route to it).
 # ---------------------------------------------------------------------------
+
+
+# Geometry detached under reverse-mode AD (ops/detach.py).
+from .detach import detached_query  # noqa: E402
+
+pairs_intersect = detached_query(_pairs_intersect_impl)

@@ -151,7 +151,7 @@ def _kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def smallscene_intersect(accel: SmallTriAccel, o, d, tmax,
+def _smallscene_intersect_impl(accel: SmallTriAccel, o, d, tmax,
                          any_hit: bool = False, interpret: bool = False):
     """Same contract as ops.cluster.cluster_intersect."""
     n = o.shape[0]
@@ -209,3 +209,9 @@ def smallscene_intersect(accel: SmallTriAccel, o, d, tmax,
         "mat": jnp.where(miss, 0, matf.astype(jnp.int32) - 1),
         "light": jnp.where(miss, -1, lightf.astype(jnp.int32) - 1),
     }
+
+
+# Geometry detached under reverse-mode AD (ops/detach.py).
+from .detach import detached_query  # noqa: E402
+
+smallscene_intersect = detached_query(_smallscene_intersect_impl)
