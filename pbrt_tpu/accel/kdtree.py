@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.pytree import pytree, static_field
 
-_INF = jnp.float32(jnp.inf)
+_INF = jnp.inf
 _STACK = 64
 
 # Build-time cost model (aggregates.cpp KdTreeAggregate ctor defaults).

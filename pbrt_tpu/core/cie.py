@@ -56,15 +56,21 @@ _CHEB_XYZ = None
 def _cheb_xyz():
     global _CHEB_XYZ
     if _CHEB_XYZ is None:
+        import jax
+
         from . import cheb
 
-        _CHEB_XYZ = tuple(
-            cheb.chebfit_fn(
-                lambda l: np.asarray(fn(jnp.asarray(l))),
-                _CHEB_LO, _CHEB_HI, _CHEB_DEG,
+        # Computed lazily (first use, possibly inside a jit trace) so that
+        # `import pbrt_tpu` never touches the XLA backend —
+        # ensure_compile_time_eval keeps the fit eager either way.
+        with jax.ensure_compile_time_eval():
+            _CHEB_XYZ = tuple(
+                cheb.chebfit_fn(
+                    lambda l: np.asarray(fn(jnp.asarray(l))),
+                    _CHEB_LO, _CHEB_HI, _CHEB_DEG,
+                )
+                for fn in (_cie_x_gauss, _cie_y_gauss, _cie_z_gauss)
             )
-            for fn in (_cie_x_gauss, _cie_y_gauss, _cie_z_gauss)
-        )
     return _CHEB_XYZ
 
 
@@ -102,12 +108,24 @@ def cie_xyz(lam):
 # Computed once on host from the same analytic fit for self-consistency
 # (reference analogue: CIE_Y_integral, src/pbrt/util/spectrum.h).
 def _compute_y_integral() -> float:
-    lam = np.linspace(360.0, 830.0, 4701)
-    y = np.asarray(cie_y(jnp.asarray(lam)))
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        lam = np.linspace(360.0, 830.0, 4701)
+        y = np.asarray(cie_y(jnp.asarray(lam)))
     return float(np.trapezoid(y, lam))
 
 
-CIE_Y_INTEGRAL = _compute_y_integral()
+def __getattr__(name):
+    # PEP 562 lazy attribute: materializing this constant evaluates a jnp
+    # expression, which initializes the XLA backend — deferring it keeps
+    # `import pbrt_tpu` backend-free so jax.distributed.initialize can run
+    # first in multi-process workers (parallel/mp_worker.py).
+    if name == "CIE_Y_INTEGRAL":
+        val = _compute_y_integral()
+        globals()["CIE_Y_INTEGRAL"] = val
+        return val
+    raise AttributeError(name)
 
 # --- Standard illuminant D65, CIE publication values, 10 nm from 380 nm,
 # normalized to 100 at 560 nm. Public colorimetric data.

@@ -31,7 +31,10 @@ def gather_rows(table, idx, max_onehot: int = _ONEHOT_MAX):
     if m == 0 or m > max_onehot or jax.default_backend() != "tpu":
         # Only the TPU backend needs the gather workaround (its XLA gather
         # lowering is per-element); CPU/GPU native gathers are fine.
-        return table[idx]
+        # jnp.asarray: callers may pass numpy tables (module-scope constants
+        # are kept numpy so imports never initialize the backend), and
+        # numpy.__getitem__ rejects traced indices.
+        return jnp.asarray(table)[idx]
     n = idx.shape[0]
     flat = table.reshape(m, -1)
     if m <= _CHAIN_MAX:

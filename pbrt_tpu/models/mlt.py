@@ -48,7 +48,7 @@ from ..films.rgb import spectrum_to_rgb
 from ..scene import Scene
 from .path import PathIntegrator
 
-_LUM = jnp.asarray([0.2126729, 0.7151522, 0.0721750], jnp.float32)
+_LUM = np.asarray([0.2126729, 0.7151522, 0.0721750], np.float32)
 
 
 @pytree

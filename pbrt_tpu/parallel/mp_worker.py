@@ -39,14 +39,21 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
 
+    # jax.distributed.initialize must run BEFORE anything touches the XLA
+    # backend. Importing pbrt_tpu used to materialize module-scope jnp
+    # constants (core/cie.py et al.) which initialized the backend and made
+    # this call refuse to run — so initialize first, import pbrt_tpu after.
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.nprocs,
+        process_id=args.pid,
+    )
+
     from pbrt_tpu.parallel.multiprocess import (
         global_mesh,
-        init_multiprocess,
         render_multiprocess,
         train_step_multiprocess,
     )
-
-    init_multiprocess(args.coordinator, args.nprocs, args.pid)
     assert jax.process_count() == args.nprocs
     assert len(jax.devices()) == args.nprocs * args.local_devices
 

@@ -119,8 +119,6 @@ def train_step_multiprocess(scene, camera, integrator, target_rgb,
     cross-process psum. Returns (loss, grads) replicated on all processes
     as numpy.
     """
-    from jax.experimental import multihost_utils
-
     from ..films.rgb import spectrum_to_rgb
     from ..render import camera_rays_full
 
@@ -138,7 +136,11 @@ def train_step_multiprocess(scene, camera, integrator, target_rgb,
         (npix, 3), sharding, lambda idx: target[idx]
     )
 
-    @jax.jit
+    # Pin replicated outputs: loss and the parameter grads psum across the
+    # mesh, so every process holds the full value in its local shard — no
+    # host-side allgather needed afterwards.
+    @functools.partial(
+        jax.jit, out_shardings=NamedSharding(mesh, P()))
     def step(scene, pixel, target):
         def loss_fn(albedo_coeffs, area_scale):
             s = scene.replace(
@@ -165,7 +167,12 @@ def train_step_multiprocess(scene, camera, integrator, target_rgb,
         return loss, grads
 
     loss, grads = step(scene_g, pixel, target_g)
-    loss = float(multihost_utils.process_allgather(loss))
-    g0 = np.asarray(multihost_utils.process_allgather(grads[0]))
-    g1 = np.asarray(multihost_utils.process_allgather(grads[1]))
-    return loss, {"albedo_coeffs": g0, "area_scale": g1}
+
+    def local(x):
+        # Replicated global array: the process-local shard IS the full value.
+        return np.asarray(x.addressable_shards[0].data)
+
+    return float(local(loss)), {
+        "albedo_coeffs": local(grads[0]),
+        "area_scale": local(grads[1]),
+    }

@@ -55,7 +55,7 @@ def _sobol_dim0(idx):
 _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
             59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113,
             127, 131)
-_PRIMES_ARR = jnp.asarray(_PRIMES, jnp.uint32)
+_PRIMES_ARR = np.asarray(_PRIMES, np.uint32)
 # Digits needed so that base^digits >= 2^32 for the smallest base handled by
 # the traced-base path (base 3 -> 21; base 2 is handled separately).
 _HALTON_DIGITS = 21
@@ -135,10 +135,10 @@ def _fast_owen_scramble(v, scramble_seed):
 
 # All 24 permutations of {0,1,2,3}, packed 2 bits per entry (entry j at bit
 # 2j). Order is itertools-lexicographic — any fixed enumeration works.
-_PERM4_PACKED = jnp.asarray(
+_PERM4_PACKED = np.asarray(
     [sum(p[j] << (2 * j) for j in range(4))
      for p in itertools.permutations(range(4))],
-    jnp.uint32,
+    np.uint32,
 )
 
 
