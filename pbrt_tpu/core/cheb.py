@@ -32,3 +32,21 @@ def chebeval(x, coeffs: np.ndarray, lo: float, hi: float):
     for c in coeffs[:0:-1]:  # c_deg ... c_1
         b1, b2 = 2.0 * t * b1 - b2 + float(c), b1
     return t * b1 - b2 + float(coeffs[0])
+
+
+def chebeval_np(x, coeffs: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Host-side Clenshaw mirror of chebeval (float32 arithmetic, so that
+    build-time tables match device-side evaluations bit-for-bit in practice).
+
+    Build-time code must never dispatch eager device ops: on the tunneled
+    TPU backend each eager op is an RPC (~1 ms), which made Python-loop
+    Clenshaw chains in scene construction cost tens of seconds."""
+    t = (2.0 * np.asarray(x, np.float32) - np.float32(hi + lo)) / np.float32(
+        hi - lo
+    )
+    t = np.clip(t, -1.0, 1.0)
+    b1 = np.zeros_like(t)
+    b2 = np.zeros_like(t)
+    for c in coeffs[:0:-1]:
+        b1, b2 = np.float32(2.0) * t * b1 - b2 + np.float32(c), b1
+    return t * b1 - b2 + np.float32(coeffs[0])

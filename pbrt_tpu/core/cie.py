@@ -21,10 +21,14 @@ LAMBDA_MAX = 705.0
 
 
 def _gauss(lam, alpha, mu, sigma1, sigma2):
-    """Piecewise (asymmetric) Gaussian lobe used by the Wyman et al. fits."""
-    sigma = jnp.where(lam < mu, sigma1, sigma2)
+    """Piecewise (asymmetric) Gaussian lobe used by the Wyman et al. fits.
+
+    Written against numpy so build-time fitting never dispatches device ops
+    (eager ops are ~1 ms RPCs on the tunneled backend); the render-time
+    device path goes through the Chebyshev series below instead."""
+    sigma = np.where(lam < mu, sigma1, sigma2)
     t = (lam - mu) / sigma
-    return alpha * jnp.exp(-0.5 * t * t)
+    return alpha * np.exp(-0.5 * t * t)
 
 
 def _cie_x_gauss(lam):
@@ -56,21 +60,15 @@ _CHEB_XYZ = None
 def _cheb_xyz():
     global _CHEB_XYZ
     if _CHEB_XYZ is None:
-        import jax
-
         from . import cheb
 
-        # Computed lazily (first use, possibly inside a jit trace) so that
-        # `import pbrt_tpu` never touches the XLA backend —
-        # ensure_compile_time_eval keeps the fit eager either way.
-        with jax.ensure_compile_time_eval():
-            _CHEB_XYZ = tuple(
-                cheb.chebfit_fn(
-                    lambda l: np.asarray(fn(jnp.asarray(l))),
-                    _CHEB_LO, _CHEB_HI, _CHEB_DEG,
-                )
-                for fn in (_cie_x_gauss, _cie_y_gauss, _cie_z_gauss)
-            )
+        # Pure host-side fit: never touches the XLA backend, so
+        # `import pbrt_tpu` stays backend-free (multi-process workers call
+        # jax.distributed.initialize first) and scene build pays no RPCs.
+        _CHEB_XYZ = tuple(
+            cheb.chebfit_fn(fn, _CHEB_LO, _CHEB_HI, _CHEB_DEG)
+            for fn in (_cie_x_gauss, _cie_y_gauss, _cie_z_gauss)
+        )
     return _CHEB_XYZ
 
 
@@ -108,11 +106,12 @@ def cie_xyz(lam):
 # Computed once on host from the same analytic fit for self-consistency
 # (reference analogue: CIE_Y_integral, src/pbrt/util/spectrum.h).
 def _compute_y_integral() -> float:
-    import jax
+    from . import cheb
 
-    with jax.ensure_compile_time_eval():
-        lam = np.linspace(360.0, 830.0, 4701)
-        y = np.asarray(cie_y(jnp.asarray(lam)))
+    lam = np.linspace(360.0, 830.0, 4701)
+    y = np.maximum(
+        cheb.chebeval_np(lam, _cheb_xyz()[1], _CHEB_LO, _CHEB_HI), 0.0
+    )
     return float(np.trapezoid(y, lam))
 
 
@@ -195,16 +194,28 @@ def illuminant_e(lam):
 
 # Host-side numpy mirrors for build-time (scene compile) computations.
 def cie_xyz_np(lam: np.ndarray) -> np.ndarray:
-    return np.asarray(cie_xyz(jnp.asarray(lam)))
+    from . import cheb
+
+    cx, cy, cz = _cheb_xyz()
+    return np.stack(
+        [
+            np.maximum(cheb.chebeval_np(lam, c, _CHEB_LO, _CHEB_HI), 0.0)
+            for c in (cx, cy, cz)
+        ],
+        axis=-1,
+    )
 
 
 def illuminant_d65_np(lam: np.ndarray) -> np.ndarray:
     return np.interp(lam, _D65_LAMBDAS, _D65_VALUES)
 
 
-def whitepoint_xy(illuminant=illuminant_d65) -> np.ndarray:
-    """Chromaticity (x, y) of an illuminant under the CMF fits."""
-    lam = jnp.linspace(360.0, 830.0, 941)
-    spd = illuminant(lam)
-    xyz = np.asarray(jnp.sum(cie_xyz(lam) * spd[:, None], axis=0))
+def whitepoint_xy(illuminant=None) -> np.ndarray:
+    """Chromaticity (x, y) of an illuminant under the CMF fits (host-side)."""
+    lam = np.linspace(360.0, 830.0, 941)
+    if illuminant is None or illuminant is illuminant_d65:
+        spd = illuminant_d65_np(lam)
+    else:
+        spd = np.asarray(illuminant(jnp.asarray(lam, jnp.float32)))
+    xyz = np.sum(cie_xyz_np(lam) * spd[:, None], axis=0)
     return xyz[:2] / xyz.sum()

@@ -50,7 +50,9 @@ def _projection(cs_name: str):
 
     Defined so that reflectance == 1 under the space's illuminant (D65 here)
     maps to RGB (1,1,1) — the albedo round-trip convention of
-    RGBAlbedoSpectrum (src/pbrt/util/spectrum.h:520).
+    RGBAlbedoSpectrum (src/pbrt/util/spectrum.h:520). Pure host numpy:
+    returned as np.float32 arrays (constants under jit; zero eager device
+    RPCs at scene-build time).
     """
     cs = colorspace.COLOR_SPACES[cs_name]
     lam = np.linspace(cie.LAMBDA_MIN, cie.LAMBDA_MAX, _QUAD_N)
@@ -64,8 +66,9 @@ def _projection(cs_name: str):
     own_white = xyz_from_s @ np.ones(_QUAD_N) * 0 + xyz_from_s.sum(axis=1)
     xyz_from_s = xyz_from_s * (white_xyz / own_white)[:, None]
     rgb_from_s = cs.rgb_from_xyz @ xyz_from_s
-    return jnp.asarray(rgb_from_s, dtype=jnp.float32), jnp.asarray(
-        lam, dtype=jnp.float32
+    return (
+        np.asarray(rgb_from_s, dtype=np.float32),
+        np.asarray(lam, dtype=np.float32),
     )
 
 
@@ -108,7 +111,17 @@ def fit_albedo(rgb, cs_name: str = "srgb", iters: int = 40):
     rgb: (..., 3) -> coeffs (..., 3). Jittable; vectorized over leading axes.
     Damped Newton with the analytic Jacobian
     d(rgb)/dc = M @ diag(sigmoid'(z)) @ [x^2 x 1].
+
+    Concrete (scene-build-time) inputs take a pure-numpy host path: the
+    eager-mode Newton loop would otherwise dispatch hundreds of device RPCs
+    on the tunneled backend (~70 s per scene build measured).
     """
+    if isinstance(rgb, jax.core.Tracer):
+        return _fit_albedo_jnp(rgb, cs_name, iters)
+    return _fit_albedo_np(rgb, cs_name, iters)
+
+
+def _fit_albedo_jnp(rgb, cs_name: str, iters: int):
     rgb_from_s, lam = _projection(cs_name)
     x = _normalize_lambda(lam)  # (K,)
     basis = jnp.stack([x * x, x, jnp.ones_like(x)], axis=-1)  # (K, 3)
@@ -138,18 +151,79 @@ def fit_albedo(rgb, cs_name: str = "srgb", iters: int = 40):
     return coeffs.reshape(shape)
 
 
+def _fit_albedo_np(rgb, cs_name: str, iters: int):
+    """Host-side mirror of _fit_albedo_jnp (float32 numpy)."""
+    rgb_from_s, lam = _projection(cs_name)
+    x = np.asarray(_normalize_lambda(lam), np.float32)
+    basis = np.stack([x * x, x, np.ones_like(x)], axis=-1)  # (K, 3)
+    rgb = np.asarray(rgb, dtype=np.float32)
+    shape = rgb.shape
+    target = np.clip(rgb, 1e-4, 0.9999).reshape(-1, 3)
+
+    m = np.clip(np.mean(target, axis=-1, keepdims=True), 1e-3, 0.999)
+    z0 = (m - 0.5) / np.sqrt(np.maximum(m * (1.0 - m), 1e-6))
+    c0 = np.concatenate([np.zeros_like(z0), np.zeros_like(z0), z0], axis=-1)
+
+    damp = (1e-6 * np.eye(3)).astype(np.float32)
+    c = c0.astype(np.float32)
+    for _ in range(iters):
+        z = c @ basis.T  # (N, K)
+        s = 0.5 + 0.5 * z / np.sqrt(1.0 + z * z)
+        r = s @ rgb_from_s.T - target  # (N, 3)
+        ds = (0.5 / np.sqrt((1.0 + z * z) ** 3)).astype(np.float32)
+        J = np.einsum("ik,nk,kj->nij", rgb_from_s, ds, basis)  # (N, 3, 3)
+        JtJ = np.einsum("nij,nik->njk", J, J) + damp
+        Jtr = np.einsum("nij,ni->nj", J, r)
+        delta = _solve3_np(JtJ, Jtr)
+        c = c - np.clip(delta, -50.0, 50.0)
+    return jnp.asarray(c.reshape(shape))
+
+
+def _solve3_np(m, b):
+    """Numpy mirror of _solve3 (Cramer/adjugate, singular -> 0)."""
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+    inv_det = np.where(np.abs(det) > 1e-20, 1.0 / np.where(det == 0, 1, det), 0.0)
+    c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    adj = np.stack(
+        [
+            np.stack([c00, c10, c20], axis=-1),
+            np.stack([c01, c11, c21], axis=-1),
+            np.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return np.einsum("...ij,...j->...i", adj, b) * inv_det[..., None]
+
+
 def fit_unbounded(rgb, cs_name: str = "srgb"):
     """Fit RGBs outside [0,1] (e.g. emission): returns (coeffs, scale).
 
     Spectrum value = scale * sigmoid_poly(lam). Reference analogue:
     RGBUnboundedSpectrum (src/pbrt/util/spectrum.h:569).
     """
-    rgb = jnp.asarray(rgb, dtype=jnp.float32)
-    m = jnp.max(rgb, axis=-1, keepdims=True)
+    if isinstance(rgb, jax.core.Tracer):
+        rgb = jnp.asarray(rgb, dtype=jnp.float32)
+        m = jnp.max(rgb, axis=-1, keepdims=True)
+        scale = 2.0 * m
+        safe = jnp.where(
+            scale > 0.0, rgb / jnp.where(scale == 0.0, 1.0, scale), 0.0
+        )
+        coeffs = fit_albedo(safe, cs_name)
+        return coeffs, scale[..., 0]
+    rgb = np.asarray(rgb, dtype=np.float32)
+    m = np.max(rgb, axis=-1, keepdims=True)
     scale = 2.0 * m
-    safe = jnp.where(scale > 0.0, rgb / jnp.where(scale == 0.0, 1.0, scale), 0.0)
+    safe = np.where(scale > 0.0, rgb / np.where(scale == 0.0, 1.0, scale), 0.0)
     coeffs = fit_albedo(safe, cs_name)
-    return coeffs, scale[..., 0]
+    return coeffs, jnp.asarray(scale[..., 0])
 
 
 def eval_unbounded(coeffs, scale, lam):

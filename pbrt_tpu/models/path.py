@@ -19,8 +19,11 @@ RNG dimension layout (per ray; stateless pcg4d streams, core.rng):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..accel import api as accel_api
 from ..accel.dense import offset_ray_origin, shadow_segment
@@ -29,9 +32,22 @@ from ..core.sampling import power_heuristic
 from ..core.vecmath import coordinate_system, dot, from_local, shading_frame, to_local
 from ..materials import bxdf
 from ..scene import Scene
+from ..shapes.geometry import Interaction
 
 _CAM_DIMS = 8
 _BOUNCE_DIMS = 8
+
+
+def _zero_ct(x):
+    """Zero cotangent matching JAX conventions (float0 for int/bool)."""
+
+    def one(v):
+        v = jnp.asarray(v)
+        if jnp.issubdtype(v.dtype, jnp.inexact):
+            return jnp.zeros_like(v)
+        return np.zeros(v.shape, jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(one, x)
 
 
 @pytree
@@ -47,6 +63,15 @@ class PathIntegrator:
     # once the scene mixes expensive families (coated/hair/measured).
     sorted_shading: bool = static_field(default=False)
     sort_tile: int = static_field(default=8192)
+    # Path-replay backprop (see trace_with_stats docstring): reverse-mode
+    # differentiates a recorded shading-only replay instead of unrolling AD
+    # through the traversal scan. Same detached-geometry gradients, ~one
+    # traversal's cost for the whole backward pass.
+    replay_grad: bool = static_field(default=True)
+    # Rematerialize the replay scan body in its backward pass: measured
+    # faster on the TPU backend (residual stores dominate the recompute)
+    # and keeps backward memory O(carry). "full" | "dots" | "none".
+    replay_remat: str = static_field(default="full")
 
     def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         """Estimate radiance along N camera rays. Returns (N, S)."""
@@ -62,10 +87,38 @@ class PathIntegrator:
         Returns ((N, S) radiance, stats dict with 'rays' = number of
         closest-hit + shadow queries actually alive — the quantity Mrays/s
         benchmarks count).
+
+        Under reverse-mode AD the default path is **path-replay backprop**
+        (replay_grad): the forward trace additionally records compact
+        per-bounce hit records (t, n, uv, mat, light, prim, dpdu, shadow
+        occlusion bit); the backward pass differentiates a shading-only
+        replay of the transport from those records — traversal is never
+        re-run or unrolled through AD, and the replay scan is rematerialized
+        per bounce so residual memory is O(carry). Gradients equal the
+        plain-AD detached-geometry gradients (geometry/discrete events are
+        detached by design; gradients flow through BSDF values, emission,
+        light radiance, and hit-point positions p = o + t·d with t fixed).
+        No reference analogue: pbrt-v4 is not differentiable.
         """
         from ..samplers.samplers import as_sampler
 
         sampler = as_sampler(sampler)
+        if scene.materials.any_subsurface or not self.replay_grad:
+            L, stats, _ = self._run(scene, o, d, wl, pixel, sample_idx, sampler)
+            return L, stats
+        return _trace_cvjp(self, scene, o, d, wl, pixel, sample_idx, sampler)
+
+    def _run(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler,
+             replay_from=None, record=False):
+        """Core transport. Three modes:
+
+        - primal (replay_from=None, record=False): trace with accel queries.
+        - record (record=True): same, additionally returning per-bounce
+          records for later replay.
+        - replay (replay_from=(recs, rec_term)): recompute L from recorded
+          intersections without any accel queries (differentiable shading
+          replay; the backward path of path-replay backprop).
+        """
         n = o.shape[0]
         s = wl.lam.shape[-1]
         have_lights = scene.lights.n_lights > 0
@@ -85,15 +138,40 @@ class PathIntegrator:
             "rays": jnp.zeros((), jnp.float32),
         }
 
-        def bounce(carry, depth):
+        replaying = replay_from is not None
+
+        def bounce(carry, xs):
+            if replaying:
+                depth, rec = xs
+            else:
+                depth = xs
+                rec = None
             o, d = carry["o"], carry["d"]
             L, beta = carry["L"], carry["beta"]
             active = carry["active"]
             lam = wl.lam
             n_rays = carry["rays"] + jnp.sum(active.astype(jnp.float32))
 
-            isect = accel_api.closest(scene, o, d)
+            if replaying:
+                isect = Interaction(
+                    valid=rec["valid"], t=rec["t"],
+                    p=jnp.where(
+                        rec["valid"][:, None],
+                        o + rec["t"][:, None] * d, 0.0,
+                    ),
+                    n=rec["n"], uv=rec["uv"], wo=-d, mat=rec["mat"],
+                    light=rec["light"], prim=rec["prim"], dpdu=rec["dpdu"],
+                )
+            else:
+                isect = accel_api.closest(scene, o, d)
             hit = active & isect.valid
+            y = None
+            if record:
+                y = {
+                    "valid": isect.valid, "t": isect.t, "n": isect.n,
+                    "uv": isect.uv, "mat": isect.mat, "light": isect.light,
+                    "prim": isect.prim, "dpdu": isect.dpdu,
+                }
 
             # --- Emitted radiance at hits of area lights (with MIS weight
             # against the NEE strategy; integrators.cpp:664-726).
@@ -101,10 +179,18 @@ class PathIntegrator:
                 cos_l = dot(isect.n, isect.wo)
                 le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
                 if self.use_mis and self.use_nee:
-                    light_pdf = scene.lights.pdf_li_area(
-                        isect.light, isect.t, cos_l,
-                        p_ref=carry["prev_p"], n_ref=carry["prev_ns"],
-                    )
+                    # MIS pdfs are pure geometry: detached by design, so
+                    # the replay reuses the recorded values instead of
+                    # re-deriving them (light-BVH PMF + solid-angle math).
+                    if replaying:
+                        light_pdf = rec["light_pdf"]
+                    else:
+                        light_pdf = scene.lights.pdf_li_area(
+                            isect.light, isect.t, cos_l,
+                            p_ref=carry["prev_p"], n_ref=carry["prev_ns"],
+                        )
+                    if record:
+                        y["light_pdf"] = light_pdf
                     w_l = power_heuristic(1, carry["prev_pdf"], 1, light_pdf)
                     w_l = jnp.where(carry["specular"], 1.0, w_l)
                 elif self.use_nee:
@@ -119,12 +205,16 @@ class PathIntegrator:
                 # --- Escaped rays: infinite-light radiance (MIS vs NEE).
                 escaped = active & ~isect.valid
                 if self.use_mis and self.use_nee:
+                    if replaying:
+                        esc_pdf = rec["esc_pdf"]
+                    else:
+                        esc_pdf = scene.lights.pdf_escaped(d, o)
+                    if record:
+                        y["esc_pdf"] = esc_pdf
                     w_esc = jnp.where(
                         carry["specular"],
                         1.0,
-                        power_heuristic(
-                            1, carry["prev_pdf"], 1, scene.lights.pdf_escaped(d, o)
-                        ),
+                        power_heuristic(1, carry["prev_pdf"], 1, esc_pdf),
                     )
                 elif self.use_nee:
                     w_esc = jnp.where(carry["specular"], 1.0, 0.0)
@@ -231,7 +321,10 @@ class PathIntegrator:
                 out = {"bs": bxdf.sample(pp, oo["wo"], pp["lam"], oo["u2"], oo["uc"])}
                 if do_nee:
                     out["f_nee"] = bxdf.evaluate(pp, oo["wo"], oo["wi"], pp["lam"])
-                    out["pdf_b"] = bxdf.pdf(pp, oo["wo"], oo["wi"])
+                    if not replaying:
+                        # BSDF pdf feeds only the (detached) MIS weight;
+                        # the replay reuses the recorded value.
+                        out["pdf_b"] = bxdf.pdf(pp, oo["wo"], oo["wi"])
                 return out
 
             ops = {"wo": wo_l, "u2": u2, "uc": uc}
@@ -248,7 +341,9 @@ class PathIntegrator:
             # --- Next-event estimation (integrators.cpp SampleLd :727-805).
             if do_nee:
                 f_nee = sh["f_nee"] * jnp.abs(wi_l[..., 2:3])
-                pdf_b = sh["pdf_b"]
+                pdf_b = rec["pdf_b"] if replaying else sh["pdf_b"]
+                if record:
+                    y["pdf_b"] = pdf_b
                 if self.use_mis:
                     w_nee = jnp.where(
                         ls.is_delta,
@@ -265,15 +360,20 @@ class PathIntegrator:
                 need_shadow = active & (ls.pdf > 0.0) & jnp.any(
                     contrib != 0.0, axis=-1
                 )
-                so, wi_sh, smax = shadow_segment(
-                    isect.p, isect.n, ls.wi, ls.dist
-                )
-                occluded = accel_api.any_hit(
-                    scene,
-                    jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
-                    wi_sh,
-                    jnp.where(need_shadow, smax, 0.0),
-                )
+                if replaying:
+                    occluded = rec["occ"]
+                else:
+                    so, wi_sh, smax = shadow_segment(
+                        isect.p, isect.n, ls.wi, ls.dist
+                    )
+                    occluded = accel_api.any_hit(
+                        scene,
+                        jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
+                        wi_sh,
+                        jnp.where(need_shadow, smax, 0.0),
+                    )
+                if record:
+                    y["occ"] = occluded
                 L = L + jnp.where(
                     (need_shadow & ~occluded)[..., None], contrib, 0.0
                 )
@@ -319,11 +419,26 @@ class PathIntegrator:
             )
             carry_out["active"] = carry_out["active"] & ~kill
 
-            return carry_out, None
+            return carry_out, y
 
-        final, _ = jax.lax.scan(
-            bounce, init, jnp.arange(self.max_depth), length=self.max_depth
-        )
+        if replaying:
+            recs, rec_term = replay_from
+            # Rematerialize the shading replay per bounce: backward residual
+            # memory stays O(carry) and the recompute is shading-only (no
+            # traversal). replay_remat picks the saveable-set policy.
+            if self.replay_remat == "full":
+                body = jax.checkpoint(bounce)
+            elif self.replay_remat == "dots":
+                body = jax.checkpoint(
+                    bounce, policy=jax.checkpoint_policies.dots_saveable
+                )
+            else:
+                body = bounce
+            xs = (jnp.arange(self.max_depth), recs)
+        else:
+            body = bounce
+            xs = jnp.arange(self.max_depth)
+        final, ys = jax.lax.scan(body, init, xs, length=self.max_depth)
 
         # --- Terminal emission tier: the reference's depth loop breaks
         # AFTER adding Le at the (maxDepth+1)-th vertex (integrators.cpp:
@@ -333,28 +448,49 @@ class PathIntegrator:
         # for rays that survived all bounces restores that tier.
         L = final["L"]
         active = final["active"]
+        rec_term_out = None
         if have_lights:
             beta, d_f = final["beta"], final["d"]
             lam = wl.lam
-            isect = accel_api.closest(scene, final["o"], d_f)
+            if replaying:
+                isect = Interaction(
+                    valid=rec_term["valid"], t=rec_term["t"],
+                    p=jnp.zeros_like(final["o"]), n=rec_term["n"],
+                    uv=jnp.zeros((n, 2), o.dtype), wo=-d_f,
+                    mat=jnp.zeros((n,), jnp.int32), light=rec_term["light"],
+                    prim=jnp.zeros((n,), jnp.int32),
+                    dpdu=jnp.zeros_like(final["o"]),
+                )
+            else:
+                isect = accel_api.closest(scene, final["o"], d_f)
+            if record:
+                rec_term_out = {
+                    "valid": isect.valid, "t": isect.t, "n": isect.n,
+                    "light": isect.light,
+                }
             hit = active & isect.valid
             le = scene.lights.emitted(isect.light, isect.n, isect.wo, lam)
             if self.use_mis and self.use_nee:
-                cos_l = dot(isect.n, isect.wo)
-                light_pdf = scene.lights.pdf_li_area(
-                    isect.light, isect.t, cos_l,
-                    p_ref=final["prev_p"], n_ref=final["prev_ns"],
-                )
+                if replaying:
+                    light_pdf = rec_term["light_pdf"]
+                    esc_pdf = rec_term["esc_pdf"]
+                else:
+                    cos_l = dot(isect.n, isect.wo)
+                    light_pdf = scene.lights.pdf_li_area(
+                        isect.light, isect.t, cos_l,
+                        p_ref=final["prev_p"], n_ref=final["prev_ns"],
+                    )
+                    esc_pdf = scene.lights.pdf_escaped(d_f, final["o"])
+                if record:
+                    rec_term_out["light_pdf"] = light_pdf
+                    rec_term_out["esc_pdf"] = esc_pdf
                 w_l = jnp.where(
                     final["specular"], 1.0,
                     power_heuristic(1, final["prev_pdf"], 1, light_pdf),
                 )
                 w_esc = jnp.where(
                     final["specular"], 1.0,
-                    power_heuristic(
-                        1, final["prev_pdf"], 1,
-                        scene.lights.pdf_escaped(d_f, final["o"]),
-                    ),
+                    power_heuristic(1, final["prev_pdf"], 1, esc_pdf),
                 )
             elif self.use_nee:
                 w_l = jnp.where(final["specular"], 1.0, 0.0)
@@ -376,4 +512,37 @@ class PathIntegrator:
             rays = final["rays"] + jnp.sum(active.astype(jnp.float32))
         else:
             rays = final["rays"]
-        return L, {"rays": rays}
+        return L, {"rays": rays}, (ys, rec_term_out) if record else None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trace_cvjp(integ, scene, o, d, wl, pixel, sample_idx, sampler):
+    L, stats, _ = integ._run(scene, o, d, wl, pixel, sample_idx, sampler)
+    return L, stats
+
+
+def _trace_cvjp_fwd(integ, scene, o, d, wl, pixel, sample_idx, sampler):
+    L, stats, records = integ._run(
+        scene, o, d, wl, pixel, sample_idx, sampler, record=True
+    )
+    return (L, stats), (scene, o, d, wl, pixel, sample_idx, sampler, records)
+
+
+def _trace_cvjp_bwd(integ, res, g):
+    scene, o, d, wl, pixel, sample_idx, sampler, records = res
+    g_L = g[0]
+
+    def replay(scene, o, d):
+        L, _, _ = integ._run(
+            scene, o, d, wl, pixel, sample_idx, sampler,
+            replay_from=records,
+        )
+        return L
+
+    _, vjp_fn = jax.vjp(replay, scene, o, d)
+    g_scene, g_o, g_d = vjp_fn(g_L)
+    return (g_scene, g_o, g_d, _zero_ct(wl), _zero_ct(pixel),
+            _zero_ct(sample_idx), _zero_ct(sampler))
+
+
+_trace_cvjp.defvjp(_trace_cvjp_fwd, _trace_cvjp_bwd)
