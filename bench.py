@@ -107,7 +107,7 @@ def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
     return mrays
 
 
-def _cornell_fwdbwd(res=256, spp=16, samples_per_pass=4, max_depth=5):
+def _cornell_fwdbwd(res=256, spp=64, samples_per_pass=2, max_depth=5):
     """Forward+backward: value_and_grad over albedo coeffs + light scale.
 
     Mrays/s counts the FORWARD rays dispatched per pass divided by the

@@ -72,6 +72,11 @@ class PathIntegrator:
     # faster on the TPU backend (residual stores dominate the recompute)
     # and keeps backward memory O(carry). "full" | "dots" | "none".
     replay_remat: str = static_field(default="full")
+    # "remat": single-pass variant of path replay — plain AD over the fused
+    # trace with traversal outputs saved by name (save_only_these_names), so
+    # scan-AD's backward rematerializes shading only and no separate replay
+    # forward runs. "cvjp": two-pass record + replay custom VJP.
+    grad_mode: str = static_field(default="remat")
 
     def trace(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler):
         """Estimate radiance along N camera rays. Returns (N, S)."""
@@ -106,11 +111,16 @@ class PathIntegrator:
         if scene.materials.any_subsurface or not self.replay_grad:
             L, stats, _ = self._run(scene, o, d, wl, pixel, sample_idx, sampler)
             return L, stats
+        if self.grad_mode == "remat":
+            L, stats, _ = self._run(
+                scene, o, d, wl, pixel, sample_idx, sampler, remat_named=True
+            )
+            return L, stats
         return _trace_cvjp(self, scene, o, d, wl, pixel, sample_idx, sampler)
 
     def _run(self, scene: Scene, o, d, wl, pixel, sample_idx, sampler,
-             replay_from=None, record=False):
-        """Core transport. Three modes:
+             replay_from=None, record=False, remat_named=False):
+        """Core transport. Four modes:
 
         - primal (replay_from=None, record=False): trace with accel queries.
         - record (record=True): same, additionally returning per-bounce
@@ -118,6 +128,9 @@ class PathIntegrator:
         - replay (replay_from=(recs, rec_term)): recompute L from recorded
           intersections without any accel queries (differentiable shading
           replay; the backward path of path-replay backprop).
+        - remat_named (remat_named=True): primal trace whose scan body is
+          checkpointed with traversal outputs saved by name — reverse-mode
+          AD then rematerializes shading only, with no separate replay pass.
         """
         n = o.shape[0]
         s = wl.lam.shape[-1]
@@ -139,6 +152,19 @@ class PathIntegrator:
         }
 
         replaying = replay_from is not None
+        # Detached-sampling estimator stance (both gradient paths): frames,
+        # sampled directions and pdfs carry no gradients by design.
+        detach = replaying or remat_named
+        if remat_named:
+            from jax.ad_checkpoint import checkpoint_name
+
+            def _save(x):
+                return jax.tree_util.tree_map(
+                    lambda v: checkpoint_name(v, "trav"), x
+                )
+        else:
+            def _save(x):
+                return x
 
         def bounce(carry, xs):
             if replaying:
@@ -163,7 +189,7 @@ class PathIntegrator:
                     light=rec["light"], prim=rec["prim"], dpdu=rec["dpdu"],
                 )
             else:
-                isect = accel_api.closest(scene, o, d)
+                isect = _save(accel_api.closest(scene, o, d))
             hit = active & isect.valid
             y = None
             if record:
@@ -185,10 +211,10 @@ class PathIntegrator:
                     if replaying:
                         light_pdf = rec["light_pdf"]
                     else:
-                        light_pdf = scene.lights.pdf_li_area(
+                        light_pdf = _save(scene.lights.pdf_li_area(
                             isect.light, isect.t, cos_l,
                             p_ref=carry["prev_p"], n_ref=carry["prev_ns"],
-                        )
+                        ))
                     if record:
                         y["light_pdf"] = light_pdf
                     w_l = power_heuristic(1, carry["prev_pdf"], 1, light_pdf)
@@ -208,7 +234,7 @@ class PathIntegrator:
                     if replaying:
                         esc_pdf = rec["esc_pdf"]
                     else:
-                        esc_pdf = scene.lights.pdf_escaped(d, o)
+                        esc_pdf = _save(scene.lights.pdf_escaped(d, o))
                     if record:
                         y["esc_pdf"] = esc_pdf
                     w_esc = jnp.where(
@@ -235,6 +261,17 @@ class PathIntegrator:
             )
             t1, t2 = shading_frame(ns, isect.dpdu)
             wo_l = to_local(isect.wo, t1, t2, ns)
+            if detach:
+                # Detached-sampling estimator: frames and directions carry
+                # no gradient by design; stop_gradient here prunes the
+                # transpose graph of the backward scan (cotangents only
+                # flow through BSDF values, emission, light radiance, and
+                # the beta/L chains). Saving them by name additionally
+                # removes their recompute from the rematerialized backward.
+                ns, t1, t2, wo_l = (
+                    _save(jax.lax.stop_gradient(v))
+                    for v in (ns, t1, t2, wo_l)
+                )
             params = bxdf.surface_params(scene, isect, lam)
 
             dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
@@ -312,7 +349,17 @@ class PathIntegrator:
                 ls = scene.lights.sample_li(
                     isect.p, lam, u_sel, u_pos, n_ref=ns
                 )
+                if detach:
+                    # Light-sample geometry/pdf detached (estimator stance);
+                    # radiance ls.L stays differentiable.
+                    ls = ls.replace(
+                        wi=_save(jax.lax.stop_gradient(ls.wi)),
+                        pdf=_save(jax.lax.stop_gradient(ls.pdf)),
+                        dist=_save(jax.lax.stop_gradient(ls.dist)),
+                    )
                 wi_l = to_local(ls.wi, t1, t2, ns)
+                if detach:
+                    wi_l = _save(wi_l)
             uc = sampler.get_1d(pixel, sample_idx, dim0 + 2)
             ub0, ub1 = sampler.get_2d(pixel, sample_idx, dim0 + 3)
             u2 = jnp.stack([ub0, ub1], axis=-1)
@@ -337,11 +384,18 @@ class PathIntegrator:
             else:
                 sh = _shade(params, ops)
             bs = sh["bs"]
+            if detach:
+                # Sampled direction and pdf are detached (detached-sampling
+                # estimator); bs["f"] keeps its parameter gradients.
+                bs = dict(bs)
+                bs["wi"] = _save(jax.lax.stop_gradient(bs["wi"]))
+                bs["pdf"] = _save(jax.lax.stop_gradient(bs["pdf"]))
+                bs["specular"] = _save(bs["specular"])
 
             # --- Next-event estimation (integrators.cpp SampleLd :727-805).
             if do_nee:
                 f_nee = sh["f_nee"] * jnp.abs(wi_l[..., 2:3])
-                pdf_b = rec["pdf_b"] if replaying else sh["pdf_b"]
+                pdf_b = rec["pdf_b"] if replaying else _save(sh["pdf_b"])
                 if record:
                     y["pdf_b"] = pdf_b
                 if self.use_mis:
@@ -366,12 +420,12 @@ class PathIntegrator:
                     so, wi_sh, smax = shadow_segment(
                         isect.p, isect.n, ls.wi, ls.dist
                     )
-                    occluded = accel_api.any_hit(
+                    occluded = _save(accel_api.any_hit(
                         scene,
                         jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
                         wi_sh,
                         jnp.where(need_shadow, smax, 0.0),
-                    )
+                    ))
                 if record:
                     y["occ"] = occluded
                 L = L + jnp.where(
@@ -437,6 +491,13 @@ class PathIntegrator:
             xs = (jnp.arange(self.max_depth), recs)
         else:
             body = bounce
+            if remat_named:
+                body = jax.checkpoint(
+                    bounce,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "trav"
+                    ),
+                )
             xs = jnp.arange(self.max_depth)
         final, ys = jax.lax.scan(body, init, xs, length=self.max_depth)
 
