@@ -33,10 +33,14 @@ import time
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 PARENT_BUDGET_S = 520.0
 HEADLINE_TIMEOUT_S = 180.0
-EXTRA_TIMEOUT_S = 150.0
-WATCHDOG_S = 165.0  # child-internal partial-result alarm (headline mode)
+EXTRA_TIMEOUT_S = 110.0
 
+# Every mode's measurement loop keeps this fresh (rays completed so far /
+# elapsed). The child-internal watchdog fires WATCHDOG_MARGIN_S before the
+# parent would kill the process and prints whatever partial exists, for ANY
+# mode — a number that cannot reach the record does not exist.
 _partial = {"value": 0.0}
+WATCHDOG_MARGIN_S = 12.0
 
 
 def _sync(x) -> float:
@@ -92,17 +96,18 @@ def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
 
     t0 = time.perf_counter()
     acc = None
-    rays_dev = None
+    rays_done = 0.0
     for p in range(n_passes):
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
-        rays_dev = nrays if rays_dev is None else rays_dev + nrays
+        # Host readback per pass: the only real synchronization point on
+        # this backend (~1 ms; keeps the watchdog partial honest).
+        rays_done += _sync(nrays)
         _partial["value"] = (
-            (p + 1) * nrays_pass / max(time.perf_counter() - t0, 1e-9) / 1e6
+            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
         )
-    total_rays = _sync(rays_dev)
     dt = time.perf_counter() - t0
-    mrays = total_rays / dt / 1e6
+    mrays = rays_done / dt / 1e6
     _partial["value"] = mrays
     return mrays
 
@@ -169,13 +174,18 @@ def _cornell_fwdbwd(res=256, spp=64, samples_per_pass=2, max_depth=5):
 
     n_passes = spp // samples_per_pass
     t0 = time.perf_counter()
-    acc = None
+    rays_done = 0.0
     for p in range(n_passes):
         loss, grads = grad_pass(ac, ls, jnp.int32(p))
-        acc = loss if acc is None else acc + loss
-    _sync(acc)
+        _sync(loss)
+        rays_done += nrays_pass
+        _partial["value"] = (
+            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
+        )
     dt = time.perf_counter() - t0
-    return n_passes * nrays_pass / dt / 1e6
+    mrays = rays_done / dt / 1e6
+    _partial["value"] = mrays
+    return mrays
 
 
 def _scene_fwd(builder, res, spp, samples_per_pass, max_depth,
@@ -220,14 +230,18 @@ def _scene_fwd(builder, res, spp, samples_per_pass, max_depth,
     _sync(nrays)
     t0 = time.perf_counter()
     acc = None
-    rays_dev = None
+    rays_done = 0.0
     for p in range(n_passes):
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
-        rays_dev = nrays if rays_dev is None else rays_dev + nrays
-    total = _sync(rays_dev)
+        rays_done += _sync(nrays)
+        _partial["value"] = (
+            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
+        )
     dt = time.perf_counter() - t0
-    return total / dt / 1e6
+    mrays = rays_done / dt / 1e6
+    _partial["value"] = mrays
+    return mrays
 
 
 def _mode_killeroo():
@@ -258,17 +272,22 @@ MODES = {
 }
 
 
-def worker(mode: str) -> None:
-    """Measure one mode in-process; print '<mode> <mrays>' on success."""
+def worker(mode: str, budget_s: float) -> None:
+    """Measure one mode in-process; print '<mode> <mrays>' on success.
+
+    The SIGALRM watchdog fires WATCHDOG_MARGIN_S before the parent's kill
+    deadline and prints the running partial for ANY mode — so a slow compile
+    or an oversized config still yields a (partial-run) measurement.
+    """
 
     def on_alarm(signum, frame):
-        if mode == "c1_fwd8" and _partial["value"] > 0.0:
-            print(f"{mode} {_partial['value']:.3f}", flush=True)
+        if _partial["value"] > 0.0:
+            print(f"{mode} {_partial['value']:.3f} partial", flush=True)
             os._exit(0)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(int(WATCHDOG_S))
+    signal.alarm(max(10, int(budget_s - WATCHDOG_MARGIN_S)))
     mrays = MODES[mode]()
     signal.alarm(0)
     print(f"{mode} {mrays:.3f}", flush=True)
@@ -279,7 +298,10 @@ def _run_child(mode: str, lanes: int, timeout: float):
     env["PBRT_TPU_NSPECTRUM"] = str(lanes)
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", mode],
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--worker", mode, "--budget", f"{timeout:.0f}",
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
             timeout=timeout,
@@ -290,7 +312,7 @@ def _run_child(mode: str, lanes: int, timeout: float):
         out = e.stdout or b""
     for line in out.decode("utf-8", "replace").splitlines():
         parts = line.strip().split()
-        if len(parts) == 2 and parts[0] == mode:
+        if len(parts) in (2, 3) and parts[0] == mode:
             try:
                 v = float(parts[1])
                 if v > 0.0:
@@ -312,12 +334,14 @@ def main() -> None:
             break
 
     extra = {}
+    # Ordered by importance: the fwd+bwd north star first, then the scene
+    # breadth modes, the 32-lane width variant last.
     plan = [
-        ("c1_fwd32", 32, "cornell_fwd_32lane"),
         ("c1_fwdbwd8", 8, "cornell_fwdbwd_8lane"),
         ("c2_killeroo", 8, "killeroo_fwd"),
         ("c3_manylight", 8, "manylight_fwd"),
         ("c4_cloud", 8, "cloud_fwd"),
+        ("c1_fwd32", 32, "cornell_fwd_32lane"),
     ]
     for mode, lanes, key in plan:
         remaining = deadline - time.monotonic()
@@ -344,6 +368,11 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
-        worker(sys.argv[sys.argv.index("--worker") + 1])
+        budget = (
+            float(sys.argv[sys.argv.index("--budget") + 1])
+            if "--budget" in sys.argv
+            else EXTRA_TIMEOUT_S
+        )
+        worker(sys.argv[sys.argv.index("--worker") + 1], budget)
     else:
         main()

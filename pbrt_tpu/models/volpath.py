@@ -59,6 +59,24 @@ class VolPathIntegrator:
         out, _ = jax.lax.scan(sbody, init, None, length=max_steps)
         return out
 
+    def _walk(self, body, inputs, state, mask_of, max_steps):
+        """Majorant-walk driver: staged wavefront compaction in the forward
+        path (ops/compact.py — the live set decays ~8x faster than the
+        step cap); a fixed-length masked scan when differentiating
+        (while_loop and gather/scatter are not reverse-differentiable)."""
+        if not self.differentiable:
+            from ..ops.compact import staged_masked_loop
+
+            return staged_masked_loop(body, inputs, state, mask_of, max_steps)
+
+        def sbody(st, it):
+            return body(inputs, it, st), None
+
+        out, _ = jax.lax.scan(
+            sbody, state, jnp.arange(max_steps), length=max_steps
+        )
+        return out
+
     # -- transmittance (ratio tracking; integrators.cpp SampleLd Tr loop) ----
 
     def _transmittance(self, scene, o, wi, dist, lam, pixel, sample_idx,
@@ -97,17 +115,19 @@ class VolPathIntegrator:
             lam_base = jnp.max(sa_u + ss_u, axis=-1)  # (N,) unit-density maj
         if self.differentiable:
             lam_base = jax.lax.stop_gradient(1.5 * lam_base)
+        # Density corner table: one row gather per step instead of 8
+        # separate gathers (hoisted out of the walk loop).
+        ctab = med.corner_table() if med.kind == "grid" else None
 
-        def cond(state):
-            it, t, tr, active = state
-            return (it < self.max_tr_steps) & jnp.any(active)
-
-        def body(state):
-            it, t, tr, active = state
-            u = sampler.get_1d(pixel, sample_idx, dim_base + it)
+        def body(inp, it, st):
+            t, tr, active = st["t"], st["tr"], st["active"]
+            o_i, wi_i, t1_i = inp["o"], inp["wi"], inp["t1"]
+            u = sampler.get_1d(inp["pixel"], inp["sidx"], dim_base + it)
             if use_dda:
-                maj = med.majorant_local(o + t[..., None] * wi, lam_base)
-                t_exit = jnp.minimum(med.cell_exit_t(o, wi, t), t1)
+                maj = med.majorant_local(
+                    o_i + t[..., None] * wi_i, inp["lam_base"]
+                )
+                t_exit = jnp.minimum(med.cell_exit_t(o_i, wi_i, t), t1_i)
                 t_new = t - jnp.log(
                     jnp.maximum(1.0 - u, 1e-20)
                 ) / jnp.maximum(maj, 1e-20)
@@ -117,25 +137,42 @@ class VolPathIntegrator:
             else:
                 t_new = t - jnp.log(
                     jnp.maximum(1.0 - u, 1e-20)
-                ) / jnp.maximum(sigma_maj, 1e-20)
+                ) / jnp.maximum(inp["sigma_maj"], 1e-20)
                 crossed = jnp.zeros_like(t_new, bool)
-                maj_here = sigma_maj
-            escaped = t_new >= t1
-            p = o + t_new[..., None] * wi
-            sa_p, ss_p = med.sigma_at(p, lam)
+                maj_here = inp["sigma_maj"]
+            escaped = t_new >= t1_i
+            p = o_i + t_new[..., None] * wi_i
+            if ctab is not None:
+                dens = med.density_at_fast(p, ctab)
+                sa_p = inp["sa_u"] * dens[..., None]
+                ss_p = inp["ss_u"] * dens[..., None]
+            else:
+                sa_p, ss_p = med.sigma_at(p, inp["lam"])
             sigma_n = jnp.maximum(maj_here[..., None] - sa_p - ss_p, 0.0)
             ratio = sigma_n / jnp.maximum(maj_here[..., None], 1e-20)
             step = active & ~escaped & ~crossed
             tr = jnp.where(step[..., None], tr * ratio, tr)
             active = active & ~escaped
-            return it + 1, jnp.where(active, t_new, t), tr, active
+            return {
+                "t": jnp.where(active, t_new, t), "tr": tr, "active": active
+            }
 
         active0 = (t1 > t0) & ~occ
         if not use_dda:
             active0 = active0 & (sigma_maj > 0.0)
-        _, _, tr, _ = self._loop(
-            cond, body, (jnp.int32(0), t0, tr, active0), self.max_tr_steps
-        )
+        inputs = {
+            "o": o, "wi": wi, "t1": t1, "pixel": pixel, "lam": lam,
+            "lam_base": lam_base, "sigma_maj": sigma_maj,
+            "sidx": jnp.broadcast_to(
+                jnp.asarray(sample_idx), jnp.shape(pixel)
+            ),
+        }
+        if ctab is not None:
+            inputs["sa_u"], inputs["ss_u"] = sa_u, ss_u
+        state = {"t": t0, "tr": tr, "active": active0}
+        state = self._walk(body, inputs, state, lambda st: st["active"],
+                           self.max_tr_steps)
+        tr = state["tr"]
         return jnp.where(occ[..., None], 0.0, tr)
 
     # -- main loop -----------------------------------------------------------
@@ -263,36 +300,44 @@ class VolPathIntegrator:
                     lam_base = jnp.max(sa_u + ss_u, axis=-1)
                 if self.differentiable:
                     lam_base = jax.lax.stop_gradient(1.5 * lam_base)
+                ctab = med.corner_table() if med.kind == "grid" else None
 
-                def wcond(st):
-                    it, t, beta_w, status, walking = st
-                    return (it < self.max_null_steps) & jnp.any(walking)
-
-                def wbody(st):
-                    it, t, beta_w, status, walking = st
-                    u_d = sampler.get_1d(pixel, sample_idx, dim0 + 32 + 2 * it)
+                def wbody(inp, it, st):
+                    t, beta_w = st["t"], st["beta"]
+                    status, walking = st["status"], st["walking"]
+                    o_i, d_i, t1_i = inp["o"], inp["d"], inp["t1"]
+                    u_d = sampler.get_1d(
+                        inp["pixel"], inp["sidx"], dim0 + 32 + 2 * it
+                    )
                     u_e = sampler.get_1d(
-                        pixel, sample_idx, dim0 + 33 + 2 * it
+                        inp["pixel"], inp["sidx"], dim0 + 33 + 2 * it
                     )
                     if use_dda:
                         maj_here = med.majorant_local(
-                            o + t[..., None] * d, lam_base
+                            o_i + t[..., None] * d_i, inp["lam_base"]
                         )
-                        t_exit = jnp.minimum(med.cell_exit_t(o, d, t), t1)
+                        t_exit = jnp.minimum(
+                            med.cell_exit_t(o_i, d_i, t), t1_i
+                        )
                         t_new = t - jnp.log(
                             jnp.maximum(1.0 - u_d, 1e-20)
                         ) / jnp.maximum(maj_here, 1e-20)
                         crossed = (t_new >= t_exit) | (maj_here <= 0.0)
                         t_new = jnp.where(crossed, t_exit, t_new)
                     else:
-                        maj_here = sigma_maj
+                        maj_here = inp["sigma_maj"]
                         t_new = t - jnp.log(
                             jnp.maximum(1.0 - u_d, 1e-20)
-                        ) / jnp.maximum(sigma_maj, 1e-20)
+                        ) / jnp.maximum(maj_here, 1e-20)
                         crossed = jnp.zeros_like(t_new, bool)
-                    escaped = t_new >= t1
-                    p = o + t_new[..., None] * d
-                    sa, ss = med.sigma_at(p, lam)
+                    escaped = t_new >= t1_i
+                    p = o_i + t_new[..., None] * d_i
+                    if ctab is not None:
+                        dens = med.density_at_fast(p, ctab)
+                        sa = inp["sa_u"] * dens[..., None]
+                        ss = inp["ss_u"] * dens[..., None]
+                    else:
+                        sa, ss = med.sigma_at(p, inp["lam"])
                     pa = sa[..., 0] / jnp.maximum(maj_here, 1e-20)
                     ps = ss[..., 0] / jnp.maximum(maj_here, 1e-20)
                     if self.differentiable:
@@ -336,7 +381,10 @@ class VolPathIntegrator:
                     status = jnp.where(step & absorb, 2, status)
                     walking = walking & ~escaped & (null | crossed)
                     t = jnp.where(walking | step, t_new, t)
-                    return it + 1, t, beta_w, status, walking
+                    return {
+                        "t": t, "beta": beta_w, "status": status,
+                        "walking": walking,
+                    }
 
                 walking0 = active & (t1 > t0)
                 if have_stack:
@@ -345,18 +393,26 @@ class VolPathIntegrator:
                     walking0 = walking0 & (carry["med"] < 0)
                 if not use_dda:
                     walking0 = walking0 & (sigma_maj > 0.0)
-                _, t_event, beta, status, _ = self._loop(
-                    wcond,
-                    wbody,
-                    (
-                        jnp.int32(0),
-                        t0,
-                        beta,
-                        jnp.zeros((n,), jnp.int32),
-                        walking0,
+                winputs = {
+                    "o": o, "d": d, "t1": t1, "pixel": pixel, "lam": lam,
+                    "lam_base": lam_base, "sigma_maj": sigma_maj,
+                    "sidx": jnp.broadcast_to(
+                        jnp.asarray(sample_idx), jnp.shape(pixel)
                     ),
+                }
+                if ctab is not None:
+                    winputs["sa_u"], winputs["ss_u"] = sa_u, ss_u
+                wstate = {
+                    "t": t0, "beta": beta,
+                    "status": jnp.zeros((n,), jnp.int32),
+                    "walking": walking0,
+                }
+                wstate = self._walk(
+                    wbody, winputs, wstate, lambda st: st["walking"],
                     self.max_null_steps,
                 )
+                t_event, beta = wstate["t"], wstate["beta"]
+                status = wstate["status"]
                 scattered = active & (status == 1)
                 absorbed = active & (status == 2)
                 p_med = o + t_event[..., None] * d

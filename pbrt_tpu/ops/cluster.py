@@ -182,11 +182,11 @@ def _cluster_kernel(
     e2x_ref, e2y_ref, e2z_ref, pid_ref,
     nx_ref, ny_ref, nz_ref, matf_ref, lightf_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-    t_out, prim_out, u_out, v_out, n0_out, n1_out, n2_out, mat_out, light_out,
-    *,
+    *out_refs,
     n_clusters: int,
     n_supers: int,
     any_hit: bool,
+    defer_attrs: bool = False,
 ):
     eps = 1e-12
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # (8, 128)
@@ -196,7 +196,13 @@ def _cluster_kernel(
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
     tmax = tmax_ref[:]
 
-    n_attr = 7  # u, v, nx, ny, nz, mat, light
+    # defer_attrs: traversal carries only (t, prim); u/v/n/mat/light are
+    # resolved OUTSIDE the kernel in one batched gather + MT re-evaluation
+    # (accel/api.py). Measured: the in-kernel 7-attribute select chain was
+    # ~45% of traversal time (scripts/micro_entry.py), while a native XLA
+    # gather at (122k rows, 1M indices) costs ~8 ms — deferral wins on any
+    # bench scene.
+    n_attr = 0 if (any_hit or defer_attrs) else 7
     n_blocks = _SUB // _BLK
 
     def slab(lox, loy, loz, hix, hiy, hiz, t_best):
@@ -240,7 +246,7 @@ def _cluster_kernel(
             e2y = e2y_ref[pl.ds(c, 1), :]
             e2z = e2z_ref[pl.ds(c, 1), :]
             pid = pid_ref[pl.ds(c, 1), :]
-            if not any_hit:
+            if n_attr:
                 attr_rows = [
                     None, None,  # u, v computed per sub-group
                     nx_ref[pl.ds(c, 1), :],
@@ -331,10 +337,9 @@ def _cluster_kernel(
                         )
                         tc.append(t_col)
                         pc.append(p_col)
-                        if not any_hit:
-                            for ai in range(n_attr):
-                                ac[ai].append(a_cols[ai])
-                    if any_hit:
+                        for ai in range(n_attr):
+                            ac[ai].append(a_cols[ai])
+                    if n_attr == 0:
                         return (
                             jnp.concatenate(tc, axis=1),
                             jnp.concatenate(pc, axis=1),
@@ -350,7 +355,7 @@ def _cluster_kernel(
                     )
 
                 def miss_fn(_, lo=lo, hi=hi):
-                    if any_hit:
+                    if n_attr == 0:
                         return t_best[:, lo:hi], prim[:, lo:hi], ()
                     return (
                         t_best[:, lo:hi],
@@ -362,9 +367,8 @@ def _cluster_kernel(
                 t_blocks.append(tb8)
                 p_blocks.append(pb8)
                 for ai in range(n_attr):
-                    if not any_hit:
-                        a_blocks[ai].append(ab8[ai])
-            new_attrs = attrs if any_hit else tuple(
+                    a_blocks[ai].append(ab8[ai])
+            new_attrs = tuple(
                 jnp.concatenate(a_blocks[ai], axis=1)
                 for ai in range(n_attr)
             )
@@ -398,25 +402,25 @@ def _cluster_kernel(
     t_best, prim, attrs = jax.lax.fori_loop(
         0, n_supers, super_body, (t_best, prim, attrs)
     )
-    t_out[:] = t_best
-    prim_out[:] = prim
-    u_out[:] = attrs[0]
-    v_out[:] = attrs[1]
-    n0_out[:] = attrs[2]
-    n1_out[:] = attrs[3]
-    n2_out[:] = attrs[4]
-    mat_out[:] = attrs[5]
-    light_out[:] = attrs[6]
+    for ref, val in zip(out_refs, (t_best, prim) + attrs):
+        ref[:] = val
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "interpret", "defer_attrs")
+)
 def _cluster_intersect_impl(accel: ClusterAccel, o, d, tmax,
-                            any_hit: bool = False, interpret: bool = False):
+                            any_hit: bool = False, interpret: bool = False,
+                            defer_attrs: bool = True):
     """Full hit query.
 
     Returns a dict with per-ray 't', 'prim' (int32, -1 = miss) and, for
-    closest-hit mode, 'u', 'v', 'n' (N, 3 geometric normal), 'mat', 'light'
-    (int32 ids, light -1 = none) — all selected inside the kernel.
+    closest-hit mode with defer_attrs=False, 'u', 'v', 'n' (N, 3 geometric
+    normal), 'mat', 'light' (int32 ids, light -1 = none) selected inside
+    the kernel. With defer_attrs=True (default) only 't'/'prim' return and
+    the caller resolves attributes in one batched pass
+    (accel/api.py resolve_tri_attrs — measured faster than the in-kernel
+    select chain on every scene).
     For any_hit mode only 't'/'prim' are meaningful (prim >= 0 = occluded).
     """
     n = o.shape[0]
@@ -438,19 +442,23 @@ def _cluster_intersect_impl(accel: ClusterAccel, o, d, tmax,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    lean = any_hit or defer_attrs
+    n_out = 2 if lean else 9
     kernel = functools.partial(
         _cluster_kernel,
         n_clusters=accel.n_clusters,
         n_supers=accel.n_supers,
         any_hit=any_hit,
+        defer_attrs=defer_attrs,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[full] * 17 + [ray_spec] * 7,
-        out_specs=[ray_spec] * 9,
+        out_specs=[ray_spec] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((8, npad // 8), jnp.float32) for _ in range(9)
+            jax.ShapeDtypeStruct((8, npad // 8), jnp.float32)
+            for _ in range(n_out)
         ],
         interpret=interpret,
     )(
@@ -465,12 +473,15 @@ def _cluster_intersect_impl(accel: ClusterAccel, o, d, tmax,
     def uncomp(x):
         return x.reshape(8, npad // 8).T.reshape(npad)[:n]
 
+    if lean:
+        t, prim_f = (uncomp(x) for x in outs)
+        miss = prim_f <= 0.0
+        prim = jnp.where(miss, -1, prim_f.astype(jnp.int32) - 1)
+        t = jnp.where(miss, jnp.inf, t)
+        return {"t": t, "prim": prim}
     t, prim_f, u, v, n0, n1, n2, matf, lightf = (uncomp(x) for x in outs)
     miss = prim_f <= 0.0
     prim = jnp.where(miss, -1, prim_f.astype(jnp.int32) - 1)
-    if any_hit:
-        t = jnp.where(miss, jnp.inf, t)
-        return {"t": t, "prim": prim}
     t = jnp.where(miss, jnp.inf, t)
     z = jnp.zeros_like(u)
     return {

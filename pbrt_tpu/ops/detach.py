@@ -24,18 +24,19 @@ import jax.numpy as jnp
 
 
 def detached_query(impl):
-    """Wrap impl(accel, o, d, tmax, any_hit=..., interpret=...) with a
-    custom VJP returning zero cotangents for every input."""
+    """Wrap impl(accel, o, d, tmax, **static_kwargs) with a custom VJP
+    returning zero cotangents for every input. Static keyword arguments
+    (any_hit, interpret, defer_attrs, ...) pass through as hashable aux."""
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-    def call(accel, o, d, tmax, any_hit, interpret):
-        return impl(accel, o, d, tmax, any_hit=any_hit, interpret=interpret)
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+    def call(accel, o, d, tmax, static_kv):
+        return impl(accel, o, d, tmax, **dict(static_kv))
 
-    def fwd(accel, o, d, tmax, any_hit, interpret):
-        out = impl(accel, o, d, tmax, any_hit=any_hit, interpret=interpret)
+    def fwd(accel, o, d, tmax, static_kv):
+        out = impl(accel, o, d, tmax, **dict(static_kv))
         return out, (accel, o, d, tmax)
 
-    def bwd(any_hit, interpret, res, g):
+    def bwd(static_kv, res, g):
         accel, o, d, tmax = res
 
         def zero(x):
@@ -53,7 +54,9 @@ def detached_query(impl):
     call.defvjp(fwd, bwd)
 
     @functools.wraps(impl)
-    def wrapper(accel, o, d, tmax, any_hit=False, interpret=False):
-        return call(accel, o, d, tmax, any_hit, interpret)
+    def wrapper(accel, o, d, tmax, **kwargs):
+        kwargs.setdefault("any_hit", False)
+        kwargs.setdefault("interpret", False)
+        return call(accel, o, d, tmax, tuple(sorted(kwargs.items())))
 
     return wrapper

@@ -87,6 +87,85 @@ def test_bvh_interaction_assembly():
     )
 
 
+def test_cluster_multi_super_matches_dense():
+    """Super-cull tier correctness at real scale: >= 8 super-clusters
+    (the production killeroo-class path exercises multi-super culling,
+    which the 1-super icosphere gates cannot reach). Closest + any-hit,
+    camera-style and shuffled rays, against the dense oracle — including
+    the deferred-attribute resolution (accel/api.resolve_tri_attrs)."""
+    from pbrt_tpu.lights.buffers import LightBuffers
+    from pbrt_tpu.materials.buffers import MaterialBuffers, MAT_DIFFUSE
+    from pbrt_tpu.scene import Scene
+
+    # ~37k triangles -> ceil(37000/128/32) >= 9 supers.
+    tris = np.concatenate(
+        [torus(1.4, 0.35, 225, 80), icosphere(3, 0.6, (0, 0, 0.8))]
+    )
+    geom = GeometryBuffers.build(
+        tri_verts=tris,
+        tri_mat=(np.arange(len(tris)) % 3).astype(np.int32),
+        tri_light=np.where(
+            np.arange(len(tris)) % 97 == 0, 0, -1
+        ).astype(np.int32),
+    )
+    mats = MaterialBuffers.build(
+        [{"kind": MAT_DIFFUSE, "albedo": (0.5,) * 3}] * 3
+    )
+    lights = LightBuffers.build(
+        points=[{"p": (0, 0, 3), "rgb": (1, 1, 1), "scale": 1.0}]
+    )
+    scene = Scene(geom=geom, materials=mats, lights=lights)
+    sc = scene.with_accel(threshold=1)
+    assert sc.clusters is not None and sc.clusters.n_supers >= 8
+
+    n = 2048
+    # Camera-style: common origin, coherent directions at the geometry.
+    r = np.random.default_rng(7)
+    tgt = r.uniform(-1.6, 1.6, (n, 3)).astype(np.float32)
+    o_cam = np.tile(np.array([[0.0, -4.0, 0.0]], np.float32), (n, 1))
+    d_cam = tgt - o_cam
+    d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+    o_shuf, d_shuf = _random_rays(n, 11, spread=2.0)
+
+    for o, d in ((jnp.asarray(o_cam), jnp.asarray(d_cam)),
+                 (o_shuf, d_shuf)):
+        a = accel_api.closest(scene, o, d)
+        b = accel_api.closest(sc, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(a.valid), np.asarray(b.valid)
+        )
+        hit = np.asarray(a.valid)
+        assert hit.mean() > 0.2  # the rays genuinely exercise the mesh
+        np.testing.assert_allclose(
+            np.asarray(a.t)[hit], np.asarray(b.t)[hit], rtol=1e-4
+        )
+        agree = (np.asarray(a.prim) == np.asarray(b.prim))[hit]
+        assert agree.mean() > 0.995  # exact-tie duplicates only
+        same = agree & hit[hit]
+        np.testing.assert_allclose(
+            np.asarray(a.n)[hit][same], np.asarray(b.n)[hit][same],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.uv)[hit][same], np.asarray(b.uv)[hit][same],
+            atol=1e-3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.mat)[hit][same], np.asarray(b.mat)[hit][same]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.light)[hit][same], np.asarray(b.light)[hit][same]
+        )
+
+        # Any-hit with finite tmax.
+        tmax = jnp.full((n,), 2.5, jnp.float32)
+        occ_a = accel_api.any_hit(scene, o, d, tmax)
+        occ_b = accel_api.any_hit(sc, o, d, tmax)
+        np.testing.assert_array_equal(
+            np.asarray(occ_a), np.asarray(occ_b)
+        )
+
+
 def test_mesh_scene_renders():
     from pbrt_tpu.models.path import PathIntegrator
     from pbrt_tpu.render import render
