@@ -123,6 +123,11 @@ class LightBuffers:
     env: object = None  # Optional[EnvironmentMap]
     # Many-light BVH (lights/bvh.py); set when sampler == "bvh".
     bvh: object = None  # Optional[LightBVH]
+    # ExhaustiveLightSampler (base/lightsampler.h:29): per-light packed
+    # LightBounds records, importance evaluated for EVERY light at every
+    # shading point; set when sampler == "exhaustive". The brute-force
+    # oracle the BVH descent is gated against in tests/test_lightbvh.py.
+    exh_recs: object = None  # Optional[(L, 16) f32]
     has_infinite: bool = static_field(default=False)
     sampler: str = static_field(default="uniform")
 
@@ -423,6 +428,14 @@ class LightBuffers:
             from .bvh import LightBVH
 
             lb = lb.replace(bvh=LightBVH.build(lb))
+        elif sampler == "exhaustive":
+            from .bvh import light_bounds_arrays, pack_light_records
+
+            lbs = light_bounds_arrays(lb)
+            if len(lbs):
+                lb = lb.replace(
+                    exh_recs=jnp.asarray(pack_light_records(lbs))
+                )
         return lb
 
     # -- selection ----------------------------------------------------------
@@ -454,9 +467,50 @@ class LightBuffers:
     def select(self, p_ref, n_ref, u_select):
         """Pick a light per shading point: (idx (N,) int32, pmf (N,)).
 
-        BVH mode: shading-point-driven stochastic descent; otherwise the
+        BVH mode: shading-point-driven stochastic descent; exhaustive mode:
+        importance over every light (the BVH's oracle); otherwise the
         tabulated power/uniform cdf."""
         n = self.n_lights
+        if self.exh_recs is not None:
+            from . import bvh as light_bvh
+
+            imp = light_bvh.exhaustive_importance(
+                self.exh_recs, p_ref, n_ref
+            )  # (N, L)
+            tot = jnp.sum(imp, axis=-1)
+            alive = tot > 0.0
+            pmf_l = imp / jnp.maximum(tot, 1e-30)[:, None]
+            p_inf = self._p_infinite
+            ni = self.n_inf_list
+            if ni > 0:
+                pick_inf = u_select < p_inf
+                inf_off = jnp.minimum(
+                    (u_select / max(p_inf, 1e-9) * ni).astype(jnp.int32),
+                    ni - 1,
+                )
+                inf_idx = self.n_bvh + inf_off
+            else:
+                pick_inf = jnp.zeros(u_select.shape, bool)
+                inf_idx = jnp.zeros(u_select.shape, jnp.int32)
+            u_b = jnp.clip(
+                (u_select - p_inf) / max(1.0 - p_inf, 1e-9), 0.0, 1.0 - 1e-7
+            )
+            cdf = jnp.cumsum(pmf_l, axis=-1)
+            bl = jnp.minimum(
+                jnp.sum((cdf <= u_b[:, None]).astype(jnp.int32), axis=-1),
+                imp.shape[-1] - 1,
+            )
+            bpmf = jnp.take_along_axis(
+                pmf_l, bl[:, None], axis=-1
+            )[:, 0]
+            idx = jnp.where(pick_inf, inf_idx, bl)
+            pmf = jnp.where(
+                pick_inf,
+                p_inf / max(ni, 1),
+                (1.0 - p_inf) * bpmf * alive,
+            )
+            idx = jnp.where(pick_inf | alive, idx, -1)
+            return idx, pmf
         if self.bvh is not None:
             from . import bvh as light_bvh
 
@@ -497,6 +551,25 @@ class LightBuffers:
     def selection_pmf(self, light_idx, p_ref=None, n_ref=None):
         """PMF that `select` picks light_idx (>=0) at p_ref. Used for MIS
         when a BSDF ray lands on a light (BVHLightSampler::PMF)."""
+        if self.exh_recs is not None:
+            from . import bvh as light_bvh
+
+            imp = light_bvh.exhaustive_importance(
+                self.exh_recs, p_ref, n_ref
+            )
+            tot = jnp.sum(imp, axis=-1)
+            p_inf = self._p_infinite
+            ni = self.n_inf_list
+            in_pos = (light_idx >= 0) & (light_idx < self.n_bvh)
+            li = jnp.clip(light_idx, 0, imp.shape[-1] - 1)
+            pm_pos = (1.0 - p_inf) * jnp.take_along_axis(
+                imp, li[:, None], axis=-1
+            )[:, 0] / jnp.maximum(tot, 1e-30)
+            pm_inf = p_inf / max(ni, 1)
+            return jnp.where(
+                in_pos, jnp.where(tot > 0.0, pm_pos, 0.0),
+                jnp.where(light_idx >= 0, pm_inf, 0.0),
+            )
         if self.bvh is not None:
             from . import bvh as light_bvh
 

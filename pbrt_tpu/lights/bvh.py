@@ -196,6 +196,41 @@ def light_bounds_arrays(lights) -> list:
     return out
 
 
+def pack_light_records(lbs) -> np.ndarray:
+    """Pack per-light _Bounds into the (L, 16) record layout
+    node_importance reads (the LightBVH leaf layout). Used by the
+    ExhaustiveLightSampler, which evaluates every light's importance
+    directly (reference: ExhaustiveLightSampler, base/lightsampler.h:29 /
+    lightsamplers.cpp) — the brute-force oracle the BVH descent
+    approximates."""
+    packed = np.zeros((len(lbs), 16), np.float32)
+    for i, b in enumerate(lbs):
+        packed[i, 0:3] = b.lo
+        packed[i, 3:6] = b.hi
+        packed[i, 6:9] = b.w
+        packed[i, 9] = np.cos(b.theta_o)
+        packed[i, 10] = np.cos(b.theta_e)
+        packed[i, 11] = b.phi
+        packed[i, 12] = float(i)
+        packed[i, 13] = -1.0
+        packed[i, 14] = 1.0 if b.two else 0.0
+    return packed
+
+
+def exhaustive_importance(recs, p, n_ref):
+    """(N, L) importance of every light record at every shading point."""
+    import jax
+
+    n = p.shape[0]
+
+    def one(rec):
+        return node_importance(
+            jnp.broadcast_to(rec[None, :], (n, 16)), p, n_ref
+        )
+
+    return jnp.transpose(jax.vmap(one)(recs))  # (N, L)
+
+
 @pytree
 class LightBVH:
     """Flattened light tree + per-light descent paths."""

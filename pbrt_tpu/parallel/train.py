@@ -29,6 +29,28 @@ def _render_pixels(scene: Scene, camera, integrator, pixel, sample_idx, seed):
     return spectrum_to_rgb(radiance, wl)  # (N, 3)
 
 
+DEFAULT_TRAINABLE = ("materials.albedo_coeffs", "lights.area_scale")
+
+
+def _get_path(scene, path):
+    obj = scene
+    for part in path.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _set_paths(scene, updates):
+    """Return scene with dotted-path leaves replaced (depth-2 paths)."""
+    by_child = {}
+    for path, value in updates.items():
+        child, leaf = path.split(".", 1)
+        by_child.setdefault(child, {})[leaf] = value
+    reps = {}
+    for child, leaves in by_child.items():
+        reps[child] = getattr(scene, child).replace(**leaves)
+    return scene.replace(**reps)
+
+
 def render_loss_and_grad(
     scene: Scene,
     camera: PerspectiveCamera,
@@ -37,25 +59,25 @@ def render_loss_and_grad(
     target_rgb,
     sample_idx,
     seed,
+    trainable=DEFAULT_TRAINABLE,
 ):
-    """L2 image loss + gradients wrt (albedo coeffs, light scales).
+    """L2 image loss + gradients wrt an arbitrary trainable-leaf set.
 
-    Differentiates through shading and emission; geometry/discrete events are
-    detached (SURVEY.md section 7 design stance).
+    trainable: tuple of dotted scene paths ("materials.albedo_coeffs",
+    "materials.roughness", "lights.area_scale", "textures.img_flat",
+    "medium.sigma_a_scale", ...). Differentiates through shading and
+    emission; geometry/discrete events are detached (SURVEY.md section 7
+    design stance). Returns (loss, {path: grad}).
     """
+    params = {p: _get_path(scene, p) for p in trainable}
 
-    def loss_fn(albedo_coeffs, area_scale):
-        s = scene.replace(
-            materials=scene.materials.replace(albedo_coeffs=albedo_coeffs),
-            lights=scene.lights.replace(area_scale=area_scale),
-        )
+    def loss_fn(params):
+        s = _set_paths(scene, params)
         rgb = _render_pixels(s, camera, integrator, pixel, sample_idx, seed)
         return jnp.mean((rgb - target_rgb) ** 2)
 
-    (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-        scene.materials.albedo_coeffs, scene.lights.area_scale
-    )
-    return loss, {"albedo_coeffs": grads[0], "area_scale": grads[1]}
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    return loss, grads
 
 
 def training_step(
@@ -68,12 +90,14 @@ def training_step(
     sample_idx=0,
     seed=0,
     lr: float = 1e-2,
+    trainable=DEFAULT_TRAINABLE,
 ):
     """One sharded SGD step on scene parameters. Returns (loss, new_scene).
 
     pixel/target_rgb are expected to be sharded over the mesh's data axis
     (parallel.mesh.shard_pixels); scene is replicated. Under jit, XLA inserts
-    the gradient psum across the mesh automatically.
+    the gradient psum across the mesh automatically. `trainable` selects the
+    updated leaves (dotted scene paths, see render_loss_and_grad).
     """
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
@@ -81,16 +105,15 @@ def training_step(
     @functools.partial(jax.jit, out_shardings=(repl, repl))
     def step(scene, camera, integrator, pixel, target_rgb, sample_idx, seed):
         loss, grads = render_loss_and_grad(
-            scene, camera, integrator, pixel, target_rgb, sample_idx, seed
+            scene, camera, integrator, pixel, target_rgb, sample_idx, seed,
+            trainable=trainable,
         )
-        new_scene = scene.replace(
-            materials=scene.materials.replace(
-                albedo_coeffs=scene.materials.albedo_coeffs
-                - lr * grads["albedo_coeffs"]
-            ),
-            lights=scene.lights.replace(
-                area_scale=scene.lights.area_scale - lr * grads["area_scale"]
-            ),
+        new_scene = _set_paths(
+            scene,
+            {
+                p: _get_path(scene, p) - lr * grads[p]
+                for p in trainable
+            },
         )
         return loss, new_scene
 

@@ -42,6 +42,11 @@ def main(argv=None):
                    help="also write <outfile>_aov.exr with GBuffer channels")
     p.add_argument("--spectral-buckets", type=int, default=0,
                    help="also write <outfile>_spectral.exr with N buckets")
+    p.add_argument("--debugstart", default=None, metavar="X,Y,SAMPLE",
+                   help="replay a single pixel sample deterministically and "
+                        "print its radiance record (the reference's "
+                        "--debugstart, cpu/integrators.cpp:69-88; the "
+                        "stateless RNG makes the replay exact)")
     args = p.parse_args(argv)
 
     from ..io.image import write_exr
@@ -71,6 +76,38 @@ def main(argv=None):
             integrator = integrator.replace(max_depth=args.maxdepth)
     spp = args.spp or settings["spp"]
     spp = max(args.samples_per_pass, spp - spp % args.samples_per_pass)
+
+    if args.debugstart:
+        import jax.numpy as jnp
+
+        from ..films.rgb import spectrum_to_rgb
+        from ..render import camera_rays
+
+        parts = args.debugstart.split(",")
+        px, py = int(parts[0]), int(parts[1])
+        sidx = int(parts[2]) if len(parts) > 2 else 0
+        nx, ny = camera.resolution
+        pid = jnp.asarray([py * nx + px], jnp.int32)
+        samp = jnp.asarray([sidx], jnp.int32)
+        scene = scene.with_accel()
+        o, d, wl = camera_rays(camera, pid, samp, jnp.int32(args.seed))
+        L, stats = integrator.trace_with_stats(
+            scene, o, d, wl, pid, samp, jnp.int32(args.seed)
+        )
+        rgb = spectrum_to_rgb(L, wl)
+        rec = {
+            "pixel": [px, py],
+            "sample": sidx,
+            "seed": args.seed,
+            "ray_o": np.asarray(o)[0].tolist(),
+            "ray_d": np.asarray(d)[0].tolist(),
+            "lambdas": np.asarray(wl.lam)[0].tolist(),
+            "L": np.asarray(L)[0].tolist(),
+            "rgb": np.asarray(rgb)[0].tolist(),
+            "rays": float(np.asarray(stats["rays"])),
+        }
+        print(json.dumps(rec))
+        return 0
 
     if args.interactive:
         from ..utils.gui import GUI, interactive_render_loop

@@ -106,3 +106,104 @@ def test_medium_sigma_gradient_matches_fd():
     # Denser absorbing fog -> darker image; gradients agree within MC noise.
     assert g < 0 and fd < 0, (g, fd)
     assert abs(fd - g) <= 0.35 * max(abs(fd), abs(g)), (g, fd)
+
+
+def test_roughness_gradient_matches_fd():
+    """Conductor roughness: reverse-mode vs FD. Uses the attached estimator
+    (replay_grad=False): the default detached path detaches sampled
+    directions, which matches FD only in expectation, while the attached
+    path is per-sample exact for fixed RNG."""
+    from pbrt_tpu.materials.buffers import MAT_CONDUCTOR, MaterialBuffers
+    from pbrt_tpu.scenes.cornell import cornell_box
+
+    scene, camera = cornell_box(resolution=(8, 8))
+    nmat = int(scene.materials.kind.shape[0])
+    integ = PathIntegrator(max_depth=3, rr_start_depth=100,
+                           replay_grad=False)
+
+    base_rough = jnp.full((nmat,), 0.35, jnp.float32)
+    kinds = np.asarray(scene.materials.kind)
+    kinds2 = np.where(np.arange(nmat) == 0, MAT_CONDUCTOR, kinds)
+    mats = scene.materials.replace(
+        kind=jnp.asarray(kinds2), any_conductor=True
+    )
+
+    def loss(rough):
+        s = scene.replace(materials=mats.replace(roughness=rough))
+        return _mean_image(s, camera, integ)
+
+    _check_grad(loss, base_rough, eps=5e-3, rtol=0.08, n_check=2)
+
+
+def test_ior_gradient_matches_fd():
+    """Dielectric IOR (eta) gradient vs FD (attached estimator)."""
+    from pbrt_tpu.materials.buffers import MAT_DIELECTRIC
+
+    scene, camera = cornell_box(resolution=(8, 8))
+    nmat = int(scene.materials.kind.shape[0])
+    integ = PathIntegrator(max_depth=3, rr_start_depth=100,
+                           replay_grad=False)
+    kinds = np.asarray(scene.materials.kind)
+    kinds2 = np.where(np.arange(nmat) == 1, MAT_DIELECTRIC, kinds)
+    mats = scene.materials.replace(
+        kind=jnp.asarray(kinds2), any_dielectric=True,
+        roughness=jnp.full((nmat,), 0.25, jnp.float32),
+    )
+    base_eta = jnp.full((nmat,), 1.5, jnp.float32)
+
+    def loss(eta):
+        s = scene.replace(materials=mats.replace(eta=eta))
+        return _mean_image(s, camera, integ)
+
+    _check_grad(loss, base_eta, eps=5e-3, rtol=0.08, n_check=1)
+
+
+def test_detached_default_matches_attached_for_albedo():
+    """The default detached (remat) estimator and the attached plain-AD
+    estimator agree exactly for parameters that do not influence sampling
+    (albedo) — the detachment only drops sampling-Jacobian terms."""
+    scene, camera = cornell_box(resolution=(8, 8))
+    i_det = PathIntegrator(max_depth=3, rr_start_depth=100)
+    i_att = PathIntegrator(max_depth=3, rr_start_depth=100,
+                           replay_grad=False)
+
+    def loss(coeffs, integ):
+        s = scene.replace(
+            materials=scene.materials.replace(albedo_coeffs=coeffs)
+        )
+        return _mean_image(s, camera, integ)
+
+    g1 = np.asarray(jax.grad(lambda c: loss(c, i_det))(
+        scene.materials.albedo_coeffs))
+    g2 = np.asarray(jax.grad(lambda c: loss(c, i_att))(
+        scene.materials.albedo_coeffs))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-7)
+
+
+def test_texture_texel_gradient_matches_fd():
+    """Image-texture texel gradients: d(loss)/d(texel rgb coeffs) vs FD."""
+    from pbrt_tpu.scenes.cornell import cornell_box
+    from pbrt_tpu.textures.buffers import TextureBuffers
+
+    scene, camera = cornell_box(resolution=(8, 8))
+    rng = np.random.default_rng(3)
+    tex_rgb = rng.uniform(0.2, 0.8, (4, 4, 3)).astype(np.float32)
+    textures = TextureBuffers.build(
+        [{"kind": "image", "rgb_image": tex_rgb}]
+    )
+    # Point material 0 (the floor/walls material in slot 0) at texture 0.
+    nmat = int(scene.materials.kind.shape[0])
+    atex = np.full((nmat,), -1, np.int32)
+    atex[0] = 0
+    mats = scene.materials.replace(albedo_tex=jnp.asarray(atex))
+    scene = scene.replace(materials=mats, textures=textures)
+    integ = PathIntegrator(max_depth=2, rr_start_depth=100)
+
+    def loss(flat):
+        s = scene.replace(
+            textures=scene.textures.replace(img_flat=flat)
+        )
+        return _mean_image(s, camera, integ)
+
+    theta = scene.textures.img_flat
+    _check_grad(loss, theta, eps=1e-2, rtol=0.06, n_check=2)

@@ -300,3 +300,42 @@ def test_imgtool_cat_scalenormalmap_makeemitters(tmp_path, capsys):
     text = scene_txt.read_text()
     assert text.count("AreaLightSource") == 4  # every pixel has energy
     assert "trianglemesh" in text
+
+
+def test_pbrt_cli_debugstart(tmp_path, capsys):
+    """--debugstart replays one pixel sample deterministically
+    (cpu/integrators.cpp:69-88 analogue; stateless RNG makes it exact)."""
+    import json as _json
+
+    scene = tmp_path / "dbg.pbrt"
+    scene.write_text(
+        """
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "independent" "integer pixelsamples" [4]
+LookAt 0.5 0.5 -1.4  0.5 0.5 0.5  0 1 0
+Camera "perspective" "float fov" [40]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [1 1 1] "float scale" [10]
+  Shape "trianglemesh" "point3 P" [0.3 0.99 0.3  0.7 0.99 0.3  0.7 0.99 0.7  0.3 0.99 0.7]
+      "integer indices" [0 1 2  0 2 3]
+AttributeEnd
+Material "diffuse" "rgb reflectance" [0.7 0.7 0.7]
+Shape "trianglemesh" "point3 P" [0 0 0  1 0 0  1 0 1  0 0 1]
+    "integer indices" [0 2 1  0 3 2]
+WorldEnd
+"""
+    )
+    from pbrt_tpu.tools.pbrt_render import main
+
+    rc = main([str(scene), "--debugstart", "3,5,1", "--quiet"])
+    assert rc == 0
+    rec1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec1["pixel"] == [3, 5] and rec1["sample"] == 1
+    assert len(rec1["L"]) == len(rec1["lambdas"])
+    assert all(np.isfinite(v) for v in rec1["L"])
+    # Exact replay: a second run reproduces the record bit-for-bit.
+    rc = main([str(scene), "--debugstart", "3,5,1", "--quiet"])
+    assert rc == 0
+    rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec1 == rec2
