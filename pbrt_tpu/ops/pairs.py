@@ -477,10 +477,16 @@ def _pairs_intersect_impl(accel: ClusterAccel, o, d, tmax,
 #     ~175 ns row loads + ~70 ns state blocks + ~130 ns MT + ~270 ns the
 #     7-attribute select chain — the attribute machinery dominates BOTH
 #     paths (it is ~45% of ops/cluster.py's time too).
-# Conclusion recorded for the next iteration: traversal should carry only
-# (t, pid) and attributes must be resolved in one batched final pass;
-# until then ops/cluster.py remains the production default and this kernel
-# is an opt-in testbed (accel/api.py does not route to it).
+# Round-4 status: the recorded conclusion (traversal carries only (t, pid),
+# attributes resolved in one batched final pass) is now implemented in the
+# PRODUCTION path — ops/cluster.py defer_attrs=True + accel/api.py
+# resolve_tri_attrs (native gather at 122k rows / 1M rays measured ~8 ms,
+# invalidating the round-3 assumption that post-hoc gathers are
+# prohibitive). Measured on killeroo-class (122k tris, 1M rays):
+# cluster+defer = 3.1 Mrays/s camera closest vs pairs dense+sparse ~1.4 —
+# the cluster kernel remains the production default and this kernel stays a
+# testbed for the flat pair-list formulation (its sparse path informs the
+# next redesign: per-entry scalar orchestration ~470 ns dominates).
 # ---------------------------------------------------------------------------
 
 
