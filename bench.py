@@ -94,18 +94,24 @@ def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
     img, nrays_pass = render_pass(scene, jnp.int32(0))
     nrays_pass = _sync(nrays_pass)
 
+    # Host readback is the only real synchronization on this backend and
+    # costs a ~10-20 ms tunnel round trip that stalls the dispatch
+    # pipeline — sync only every few passes (still keeps the watchdog
+    # partial honest; measured 45 -> 19 Mrays/s when syncing EVERY pass).
+    sync_every = max(1, -(-n_passes // 2))
     t0 = time.perf_counter()
     acc = None
+    rays_dev = None
     rays_done = 0.0
     for p in range(n_passes):
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
-        # Host readback per pass: the only real synchronization point on
-        # this backend (~1 ms; keeps the watchdog partial honest).
-        rays_done += _sync(nrays)
-        _partial["value"] = (
-            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
-        )
+        rays_dev = nrays if rays_dev is None else rays_dev + nrays
+        if p % sync_every == sync_every - 1 or p == n_passes - 1:
+            rays_done = _sync(rays_dev)
+            _partial["value"] = (
+                rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
+            )
     dt = time.perf_counter() - t0
     mrays = rays_done / dt / 1e6
     _partial["value"] = mrays
@@ -173,15 +179,19 @@ def _cornell_fwdbwd(res=256, spp=64, samples_per_pass=2, max_depth=5):
     _sync(loss)
 
     n_passes = spp // samples_per_pass
+    sync_every = max(1, -(-n_passes // 2))  # see _cornell sync note
     t0 = time.perf_counter()
+    acc = None
     rays_done = 0.0
     for p in range(n_passes):
         loss, grads = grad_pass(ac, ls, jnp.int32(p))
-        _sync(loss)
-        rays_done += nrays_pass
-        _partial["value"] = (
-            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
-        )
+        acc = loss if acc is None else acc + loss
+        if p % sync_every == sync_every - 1 or p == n_passes - 1:
+            _sync(acc)
+            rays_done = (p + 1) * nrays_pass
+            _partial["value"] = (
+                rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
+            )
     dt = time.perf_counter() - t0
     mrays = rays_done / dt / 1e6
     _partial["value"] = mrays
@@ -228,16 +238,20 @@ def _scene_fwd(builder, res, spp, samples_per_pass, max_depth,
     n_passes = max(1, spp // samples_per_pass)
     img, nrays = render_pass(scene, jnp.int32(0))
     _sync(nrays)
+    sync_every = max(1, -(-n_passes // 2))  # see _cornell sync note
     t0 = time.perf_counter()
     acc = None
+    rays_dev = None
     rays_done = 0.0
     for p in range(n_passes):
         img, nrays = render_pass(scene, jnp.int32(p))
         acc = img if acc is None else acc + img
-        rays_done += _sync(nrays)
-        _partial["value"] = (
-            rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
-        )
+        rays_dev = nrays if rays_dev is None else rays_dev + nrays
+        if p % sync_every == sync_every - 1 or p == n_passes - 1:
+            rays_done = _sync(rays_dev)
+            _partial["value"] = (
+                rays_done / max(time.perf_counter() - t0, 1e-9) / 1e6
+            )
     dt = time.perf_counter() - t0
     mrays = rays_done / dt / 1e6
     _partial["value"] = mrays

@@ -41,7 +41,7 @@ def _spread5(x):
     return x
 
 
-def ray_sort_perm(o, d):
+def ray_sort_perm(o, d, tmax=None):
     """Coherence permutation for the cluster kernel's per-tile AABB gate.
 
     The cluster intersector (ops/cluster.py) gates 128-triangle clusters
@@ -74,7 +74,14 @@ def ray_sort_perm(o, d):
     # one origin so direction order still dominates them, while bounce rays
     # group by surface locality — measured 8.8 s -> 3.4 s per 1M diffuse
     # bounce rays vs a direction-major key on the same scene.
-    perm = jnp.argsort((ocode << 16) | dcode)
+    key = ((ocode << 16) | dcode).astype(jnp.int64)
+    if tmax is not None:
+        # Dead lanes (tmax <= 0) sort into their own tiles, where every
+        # slab gate fails instantly (tmin < t_best=0 is never true) — the
+        # tile-level form of wavefront dead-lane compaction: masked-out
+        # rays stop charging the traversal kernel.
+        key = key + jnp.where(tmax <= 0.0, jnp.int64(1) << 33, 0)
+    perm = jnp.argsort(key)
     inv = jnp.argsort(perm)
     return perm, inv
 
@@ -215,7 +222,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         from ..ops.cluster import cluster_intersect
 
         interp = jax.default_backend() == "cpu"
-        perm, invp = ray_sort_perm(o, d)
+        perm, invp = ray_sort_perm(o, d, tmax)
         res = cluster_intersect(
             scene.clusters, o[perm], d[perm], tmax[perm], any_hit=False,
             interpret=interp, defer_attrs=True,
@@ -324,7 +331,7 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
         from ..ops.cluster import cluster_intersect
 
         interp = jax.default_backend() == "cpu"
-        perm, invp = ray_sort_perm(o, d)
+        perm, invp = ray_sort_perm(o, d, tmax)
         res = cluster_intersect(
             scene.clusters, o[perm], d[perm], tmax[perm], any_hit=True,
             interpret=interp,

@@ -189,7 +189,13 @@ class PathIntegrator:
                     light=rec["light"], prim=rec["prim"], dpdu=rec["dpdu"],
                 )
             else:
-                isect = _save(accel_api.closest(scene, o, d))
+                # Dead lanes get tmax=0: they sort into their own tiles and
+                # fail every traversal gate instantly (accel/api
+                # ray_sort_perm) instead of paying full traversal.
+                isect = _save(accel_api.closest(
+                    scene, o, d,
+                    tmax=jnp.where(active, jnp.inf, 0.0),
+                ))
             hit = active & isect.valid
             y = None
             if record:
@@ -523,7 +529,10 @@ class PathIntegrator:
                     dpdu=jnp.zeros_like(final["o"]),
                 )
             else:
-                isect = accel_api.closest(scene, final["o"], d_f)
+                isect = accel_api.closest(
+                    scene, final["o"], d_f,
+                    tmax=jnp.where(active, jnp.inf, 0.0),
+                )
             if record:
                 rec_term_out = {
                     "valid": isect.valid, "t": isect.t, "n": isect.n,

@@ -280,7 +280,9 @@ class VolPathIntegrator:
             dim0 = _CAM_DIMS + depth * _BOUNCE_DIMS
             n_rays = carry["rays"] + jnp.sum(active.astype(jnp.float32))
 
-            isect = accel_api.closest(scene, o, d)
+            isect = accel_api.closest(
+                scene, o, d, tmax=jnp.where(active, jnp.inf, 0.0)
+            )
             t_surf = jnp.where(isect.valid, isect.t, _BIG)
 
             # ---- Medium interaction sampling (delta tracking). status:
