@@ -308,8 +308,10 @@ def worker(mode: str, budget_s: float) -> None:
 
 
 def _run_child(mode: str, lanes: int, timeout: float):
+    """Run one measurement child. Returns (value_or_None, fail_reason)."""
     env = dict(os.environ)
     env["PBRT_TPU_NSPECTRUM"] = str(lanes)
+    rc = None
     try:
         proc = subprocess.run(
             [
@@ -322,28 +324,73 @@ def _run_child(mode: str, lanes: int, timeout: float):
             env=env,
         )
         out = proc.stdout or b""
+        rc = proc.returncode
     except subprocess.TimeoutExpired as e:
         out = e.stdout or b""
+        rc = "timeout"
     for line in out.decode("utf-8", "replace").splitlines():
         parts = line.strip().split()
         if len(parts) in (2, 3) and parts[0] == mode:
             try:
                 v = float(parts[1])
                 if v > 0.0:
-                    return v
+                    return v, None
             except ValueError:
                 pass
-    return None
+    if rc == 3:
+        return None, "no_partial_before_watchdog (cold compile > budget?)"
+    return None, f"rc={rc}"
+
+
+def _probe_device(timeout_s: float = 45.0):
+    """Health-probe the chip in a child: a trivial op must complete within
+    the timeout. A wedged TPU claim hangs even `import jax` on this
+    tunneled backend — a parent-side in-process probe would wedge the whole
+    bench, hence the subprocess. Returns (ok, reason)."""
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, "-c",
+                "import jax, jax.numpy as jnp; "
+                "print('OKPROBE', float(jnp.arange(1024).sum()))",
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+        if b"OKPROBE 523776" in (proc.stdout or b""):
+            return True, None
+        return False, f"probe rc={proc.returncode}"
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung > {timeout_s:.0f}s (TPU claim wedged)"
 
 
 def main() -> None:
     deadline = time.monotonic() + PARENT_BUDGET_S
+    errors = {}
+
+    # Device health gate: a wedged TPU (observed rounds 4-5: even
+    # jnp.arange(1024).sum() hangs for minutes, then the claim recovers
+    # after killed retries) must not be recorded as a dead renderer.
+    # Probe + retry with backoff; spend at most ~40% of the budget here.
+    probe_deadline = time.monotonic() + 0.4 * PARENT_BUDGET_S
+    ok, why = _probe_device()
+    attempts = 1
+    while not ok and time.monotonic() < probe_deadline:
+        time.sleep(5.0)
+        ok, why = _probe_device()
+        attempts += 1
+    if not ok:
+        errors["device"] = f"{why} after {attempts} probes"
+
     headline = None
-    # Headline with one retry (TPU claim can hang right after a killed
+    # Headline with retries (TPU claim can hang right after a killed
     # process; the second attempt normally succeeds).
     for _ in range(3):
         budget = min(HEADLINE_TIMEOUT_S, max(10.0, deadline - time.monotonic()))
-        headline = _run_child("c1_fwd8", 8, budget)
+        headline, fail = _run_child("c1_fwd8", 8, budget)
+        if headline is None and fail:
+            errors["headline"] = fail
         if headline is not None or time.monotonic() > deadline - 60.0:
             break
 
@@ -360,24 +407,27 @@ def main() -> None:
     for mode, lanes, key in plan:
         remaining = deadline - time.monotonic()
         if remaining < 45.0:
-            break
-        v = _run_child(mode, lanes, min(EXTRA_TIMEOUT_S, remaining))
+            errors[key] = "skipped: no time left"
+            continue
+        v, fail = _run_child(mode, lanes, min(EXTRA_TIMEOUT_S, remaining))
         if v is not None:
             extra[key] = round(v, 3)
+        elif fail:
+            errors[key] = fail
 
     value = headline if headline is not None else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_forward_throughput",
-                "value": round(value, 3),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(value / 50.0, 4),
-                "extra": extra,
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "cornell_forward_throughput",
+        "value": round(value, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(value / 50.0, 4),
+        "extra": extra,
+    }
+    # A zero without an explanation is indistinguishable from a broken
+    # build (round-4 verdict weak #1) — always say why.
+    if errors and (value == 0.0 or len(extra) < len(plan)):
+        record["error"] = "; ".join(f"{k}: {v}" for k, v in errors.items())
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

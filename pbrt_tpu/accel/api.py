@@ -41,6 +41,7 @@ def _spread5(x):
     return x
 
 
+@jax.named_scope("accel/ray_sort")
 def ray_sort_perm(o, d, tmax=None):
     """Coherence permutation for the cluster kernel's per-tile AABB gate.
 
@@ -74,18 +75,22 @@ def ray_sort_perm(o, d, tmax=None):
     # one origin so direction order still dominates them, while bounce rays
     # group by surface locality — measured 8.8 s -> 3.4 s per 1M diffuse
     # bounce rays vs a direction-major key on the same scene.
-    key = ((ocode << 16) | dcode).astype(jnp.int64)
+    # ocode is 15 bits, dcode 16 → the combined key fits in 31 bits, so
+    # uint32 bit 31 is a real spare bit (int64 would silently truncate to
+    # int32 under the default x64-disabled config).
+    key = ((ocode.astype(jnp.uint32) << 16) | dcode.astype(jnp.uint32))
     if tmax is not None:
         # Dead lanes (tmax <= 0) sort into their own tiles, where every
         # slab gate fails instantly (tmin < t_best=0 is never true) — the
         # tile-level form of wavefront dead-lane compaction: masked-out
         # rays stop charging the traversal kernel.
-        key = key + jnp.where(tmax <= 0.0, jnp.int64(1) << 33, 0)
+        key = key | jnp.where(tmax <= 0.0, jnp.uint32(1) << 31, jnp.uint32(0))
     perm = jnp.argsort(key)
     inv = jnp.argsort(perm)
     return perm, inv
 
 
+@jax.named_scope("accel/resolve_attrs")
 def resolve_tri_attrs(geom, o, d, prim):
     """Batched post-traversal attribute resolution for triangle hits.
 
@@ -180,6 +185,7 @@ def _merge_disk_cyl(geom, o, d, isect: Interaction) -> Interaction:
     return upd
 
 
+@jax.named_scope("accel/closest")
 def closest(scene, o, d, tmax=None) -> Interaction:
     geom = scene.geom
     small = getattr(scene, "small", None)
@@ -297,6 +303,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     ))
 
 
+@jax.named_scope("accel/any_hit")
 def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     geom = scene.geom
     small = getattr(scene, "small", None)

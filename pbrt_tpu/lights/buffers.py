@@ -460,7 +460,7 @@ class LightBuffers:
         """Probability of sampling the non-BVH light list (reference
         BVHLightSampler::Sample: count-proportional split)."""
         ni = self.n_inf_list
-        if self.bvh is None or ni == 0:
+        if (self.bvh is None and self.exh_recs is None) or ni == 0:
             return 0.0 if self.n_bvh > 0 else 1.0
         return ni / (ni + 1.0)
 

@@ -352,9 +352,10 @@ class PathIntegrator:
                 u_sel = sampler.get_1d(pixel, sample_idx, dim0 + 0)
                 up0, up1 = sampler.get_2d(pixel, sample_idx, dim0 + 1)
                 u_pos = jnp.stack([up0, up1], axis=-1)
-                ls = scene.lights.sample_li(
-                    isect.p, lam, u_sel, u_pos, n_ref=ns
-                )
+                with jax.named_scope("path/light_sample"):
+                    ls = scene.lights.sample_li(
+                        isect.p, lam, u_sel, u_pos, n_ref=ns
+                    )
                 if detach:
                     # Light-sample geometry/pdf detached (estimator stance);
                     # radiance ls.L stays differentiable.
@@ -383,12 +384,14 @@ class PathIntegrator:
             ops = {"wo": wo_l, "u2": u2, "uc": uc}
             if do_nee:
                 ops["wi"] = wi_l
-            if self.sorted_shading:
-                from ..materials.sorted import shade_sorted
+            with jax.named_scope("path/shade"):
+                if self.sorted_shading:
+                    from ..materials.sorted import shade_sorted
 
-                sh = shade_sorted(params, ops, _shade, tile=self.sort_tile)
-            else:
-                sh = _shade(params, ops)
+                    sh = shade_sorted(params, ops, _shade,
+                                      tile=self.sort_tile)
+                else:
+                    sh = _shade(params, ops)
             bs = sh["bs"]
             if detach:
                 # Sampled direction and pdf are detached (detached-sampling

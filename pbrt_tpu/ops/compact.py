@@ -16,9 +16,11 @@ RNG is stateless (draws depend only on (pixel, sample, dim), never on lane
 position), a compacted lane computes BITWISE the same result it would have
 computed in the monolithic loop.
 
-Capacity overflow (more live lanes than a stage's width) freezes the excess
-lanes at their current state — the same truncation semantics as the step
-cap itself; capacities are sized so this is not reached in practice.
+Capacity overflow (more live lanes than a stage's width) is guarded: a
+lax.cond checks the live count against the stage capacity and runs the
+stage full-width when it would overflow, so no lane is ever silently
+frozen (advisor round-4 finding — freezing would be a data-dependent
+transmittance/termination bias, not a benign truncation).
 """
 
 from __future__ import annotations
@@ -79,16 +81,28 @@ def staged_masked_loop(body, inputs, state, mask_of, max_steps: int,
                 state = run(inputs, state, jnp.int32(it), iters)
             else:
                 mask = mask_of(state)
-                # Stable live-first permutation; take the first `cap`.
-                idx = jnp.argsort(
-                    jnp.where(mask, 0, 1), stable=True
-                )[:cap].astype(jnp.int32)
-                part_in = jax.tree_util.tree_map(lambda a: a[idx], inputs)
-                part_st = jax.tree_util.tree_map(lambda a: a[idx], state)
-                part_st = run(part_in, part_st, jnp.int32(it), iters)
-                state = jax.tree_util.tree_map(
-                    lambda full, part: full.at[idx].set(part),
-                    state, part_st,
-                )
+
+                def compacted(state, mask=mask, cap=cap, it=it, iters=iters):
+                    # Stable live-first permutation; take the first `cap`.
+                    idx = jnp.argsort(
+                        jnp.where(mask, 0, 1), stable=True
+                    )[:cap].astype(jnp.int32)
+                    part_in = jax.tree_util.tree_map(
+                        lambda a: a[idx], inputs)
+                    part_st = jax.tree_util.tree_map(lambda a: a[idx], state)
+                    part_st = run(part_in, part_st, jnp.int32(it), iters)
+                    return jax.tree_util.tree_map(
+                        lambda full, part: full.at[idx].set(part),
+                        state, part_st,
+                    )
+
+                def fullwidth(state, it=it, iters=iters):
+                    return run(inputs, state, jnp.int32(it), iters)
+
+                # Overflow guard: if more lanes are live than the stage
+                # holds, compacting would freeze the excess — run the
+                # stage full-width instead (correct for any decay curve).
+                state = jax.lax.cond(
+                    jnp.sum(mask) <= cap, compacted, fullwidth, state)
         it += iters
     return state
