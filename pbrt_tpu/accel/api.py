@@ -90,6 +90,40 @@ def ray_sort_perm(o, d, tmax=None):
     return perm, inv
 
 
+@jax.named_scope("accel/resolve_attrs_inst")
+def resolve_tri_attrs_inst(geom, sweep_accel, o, d, prim, inst):
+    """Instance-aware attribute resolution for the sweep accelerator.
+
+    geom.tri_verts holds prototype triangles in OBJECT space; the hit
+    instance's object-to-world affine (sweep_accel.o2w, rows of the 3x4
+    matrix) lifts the triangle to world space, then Moller-Trumbore
+    re-evaluation against the world ray yields u/v and the geometric
+    normal (computed from world-space edges, so non-uniform instance
+    scales shade correctly). Reference analogue: TransformedPrimitive::
+    Intersect's interaction re-mapping (cpu/primitive.cpp:94-124)."""
+    n_tri = geom.num_triangles
+    tri_idx = jnp.clip(jnp.maximum(prim, 0), 0, max(n_tri - 1, 0))
+    tv = jnp.asarray(geom.tri_verts)[tri_idx]  # (N, 3, 3) object space
+    rows = jnp.asarray(sweep_accel.o2w)[
+        jnp.clip(jnp.maximum(inst, 0), 0, sweep_accel.o2w.shape[0] - 1)
+    ]  # (N, 12)
+    m = rows.reshape(-1, 3, 4)
+    tv = jnp.einsum("nij,nkj->nki", m[:, :, :3], tv) + m[:, None, :, 3]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    ng = normalize(jnp.cross(e1, e2))
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - tv[:, 0]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv
+    mat = jnp.asarray(geom.tri_mat)[tri_idx]
+    light = jnp.asarray(geom.tri_light)[tri_idx]
+    return u, v, ng, mat, light
+
+
 @jax.named_scope("accel/resolve_attrs")
 def resolve_tri_attrs(geom, o, d, prim):
     """Batched post-traversal attribute resolution for triangle hits.
@@ -186,11 +220,14 @@ def _merge_disk_cyl(geom, o, d, isect: Interaction) -> Interaction:
 
 
 @jax.named_scope("accel/closest")
-def closest(scene, o, d, tmax=None) -> Interaction:
+def closest(scene, o, d, tmax=None, time=None) -> Interaction:
     geom = scene.geom
     small = getattr(scene, "small", None)
+    sweep = getattr(scene, "sweep", None)
+    anim = getattr(scene, "anim", None)
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
-            and small is None and getattr(scene, "kdtree", None) is None:
+            and small is None and getattr(scene, "kdtree", None) is None \
+            and sweep is None and anim is None:
         return _merge_disk_cyl(
             geom, o, d, dense.intersect_closest(geom, o, d, tmax)
         )
@@ -199,7 +236,23 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     if tmax is None:
         tmax = jnp.full((n_rays,), _INF, o.dtype)
 
-    if getattr(scene, "kdtree", None) is not None:
+    if sweep is not None:
+        from ..ops.sweep import sweep_intersect
+
+        interp = jax.default_backend() == "cpu"
+        perm, invp = ray_sort_perm(o, d, tmax)
+        res = sweep_intersect(
+            sweep, o[perm], d[perm], tmax[perm], any_hit=False,
+            interpret=interp,
+        )
+        t, prim, inst = res["t"][invp], res["prim"][invp], res["inst"][invp]
+        if sweep.instanced:
+            u, v, ng, mat, light = resolve_tri_attrs_inst(
+                geom, sweep, o, d, prim, inst
+            )
+        else:
+            u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
+    elif getattr(scene, "kdtree", None) is not None:
         from .kdtree import kdtree_intersect
 
         t, prim, u, v = kdtree_intersect(scene.kdtree, o, d, tmax)
@@ -235,7 +288,7 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         )
         t, prim = res["t"][invp], res["prim"][invp]
         u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
-    else:
+    elif scene.bvh is not None:
         t, prim, u, v = bvh_intersect(scene.bvh, o, d, tmax, any_hit=False)
         t = jnp.where(prim >= 0, t, _INF)
         n_tri = geom.num_triangles
@@ -246,6 +299,33 @@ def closest(scene, o, d, tmax=None) -> Interaction:
         )
         mat = gather_rows(geom.tri_mat, tri_idx)
         light = gather_rows(geom.tri_light, tri_idx)
+    else:
+        # Animated-instances-only scene: static triangles are prototypes
+        # (object space) and must not be intersected directly.
+        t = jnp.full((n_rays,), _INF, o.dtype)
+        prim = jnp.full((n_rays,), -1, jnp.int32)
+        u = jnp.zeros((n_rays,), o.dtype)
+        v = jnp.zeros((n_rays,), o.dtype)
+        ng = jnp.zeros((n_rays, 3), o.dtype)
+        mat = jnp.zeros((n_rays,), jnp.int32)
+        light = jnp.full((n_rays,), -1, jnp.int32)
+
+    if anim is not None:
+        from .instances import animated_best
+
+        t_base = jnp.where(prim >= 0, t, _INF)
+        t_base = jnp.minimum(t_base, tmax)
+        t_a, p_a, u_a, v_a, ng_a, mat_a, light_a = animated_best(
+            anim, geom, o, d, t_base, time
+        )
+        bet = t_a < t_base
+        t = jnp.where(bet, t_a, t)
+        prim = jnp.where(bet, p_a, prim)
+        u = jnp.where(bet, u_a, u)
+        v = jnp.where(bet, v_a, v)
+        ng = jnp.where(bet[:, None], ng_a, ng)
+        mat = jnp.where(bet, mat_a, mat)
+        light = jnp.where(bet, light_a, light)
 
     n_sph = geom.num_spheres
     if n_sph > 0:
@@ -303,13 +383,65 @@ def closest(scene, o, d, tmax=None) -> Interaction:
     ))
 
 
+def _merge_anyhit_quadrics(geom, o, d, tmax, occ):
+    """OR the analytic families (spheres/curves/disks/cyls/blps) into a
+    triangle-occlusion mask."""
+    if geom.num_spheres > 0:
+        sblk, _ = dense._sph_soa(geom.sph)
+        t_s = dense._intersect_sph_block(o, d, tmax, sblk)
+        t_s = jnp.where(
+            jnp.arange(t_s.shape[1])[None, :] < geom.num_spheres, t_s, _INF
+        )
+        occ = occ | jnp.any(jnp.isfinite(t_s), axis=1)
+    if geom.num_curves > 0:
+        _, c_idx, _, _ = dense.curve_best(geom, o, d, tmax)
+        occ = occ | (c_idx >= 0)
+    if geom.num_disks > 0:
+        _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
+        occ = occ | (i_d >= 0)
+    if geom.num_cyls > 0:
+        _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
+        occ = occ | (i_c >= 0)
+    if geom.num_blps > 0:
+        _, i_b, _, _ = dense.blp_best(geom, o, d, tmax)
+        occ = occ | (i_b >= 0)
+    return occ
+
+
 @jax.named_scope("accel/any_hit")
-def any_hit(scene, o, d, tmax) -> jnp.ndarray:
+def any_hit(scene, o, d, tmax, time=None) -> jnp.ndarray:
     geom = scene.geom
     small = getattr(scene, "small", None)
+    sweep = getattr(scene, "sweep", None)
+    anim = getattr(scene, "anim", None)
+
+    def with_anim(occ):
+        if anim is None:
+            return occ
+        from .instances import animated_any
+
+        return occ | animated_any(anim, geom, o, d, tmax, time)
+
+    if sweep is not None:
+        from ..ops.sweep import sweep_intersect
+
+        interp = jax.default_backend() == "cpu"
+        perm, invp = ray_sort_perm(o, d, tmax)
+        res = sweep_intersect(
+            sweep, o[perm], d[perm], tmax[perm], any_hit=True,
+            interpret=interp,
+        )
+        occ = (res["prim"] >= 0)[invp]
+        return _merge_anyhit_quadrics(geom, o, d, tmax, with_anim(occ))
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
             and small is None and getattr(scene, "kdtree", None) is None:
-        occ = dense.intersect_any(geom, o, d, tmax)
+        if anim is None:
+            occ = dense.intersect_any(geom, o, d, tmax)
+        else:
+            # Animated-only scene: the static triangles are object-space
+            # prototypes; only the animated pass and the analytic
+            # families apply.
+            occ = with_anim(jnp.zeros(o.shape[0], bool))
         if geom.num_disks > 0:
             _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
             occ = occ | (i_d >= 0)
@@ -347,23 +479,4 @@ def any_hit(scene, o, d, tmax) -> jnp.ndarray:
     else:
         _, prim, _, _ = bvh_intersect(scene.bvh, o, d, tmax, any_hit=True)
         occ = prim >= 0
-    if geom.num_spheres > 0:
-        sblk, _ = dense._sph_soa(geom.sph)
-        t_s = dense._intersect_sph_block(o, d, tmax, sblk)
-        t_s = jnp.where(
-            jnp.arange(t_s.shape[1])[None, :] < geom.num_spheres, t_s, _INF
-        )
-        occ = occ | jnp.any(jnp.isfinite(t_s), axis=1)
-    if geom.num_curves > 0:
-        t_c, c_idx, _, _ = dense.curve_best(geom, o, d, tmax)
-        occ = occ | (c_idx >= 0)
-    if geom.num_disks > 0:
-        _, i_d, _, _ = dense.disk_best(geom, o, d, tmax)
-        occ = occ | (i_d >= 0)
-    if geom.num_cyls > 0:
-        _, i_c, _, _ = dense.cyl_best(geom, o, d, tmax)
-        occ = occ | (i_c >= 0)
-    if geom.num_blps > 0:
-        _, i_b, _, _ = dense.blp_best(geom, o, d, tmax)
-        occ = occ | (i_b >= 0)
-    return occ
+    return _merge_anyhit_quadrics(geom, o, d, tmax, with_anim(occ))

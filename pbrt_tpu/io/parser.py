@@ -228,13 +228,29 @@ class PbrtParser:
         # objects (instancing)
         self.objects = {}
         self.cur_object = None
+        self.object_base = {}
+        # True instancing: recorded (name, object_to_world, o2w_end) refs;
+        # prototype geometry stays unique (scene.cpp:1352-1557 analogue).
+        # o2w_end differs from o2w only for animated instances
+        # (ActiveTransform StartTime/EndTime; cpu/primitive.h:86-119).
+        self.instances = []
         self.transform_times = (0.0, 1.0)
+        # ActiveTransform state: "all" applies transform directives to both
+        # keyframes; "start"/"end" to one (scene.cpp TransformSet).
+        self.active_transform = "all"
+        self.ctm_end = None  # end-keyframe CTM; None == same as self.ctm
         self.warnings = []
 
     # -- transforms ----------------------------------------------------------
 
     def _apply(self, m):
-        self.ctm = self.ctm @ m
+        # Dual-keyframe CTM (reference TransformSet, scene.cpp): transform
+        # directives update the keyframes the ActiveTransform state selects.
+        if self.active_transform in ("all", "start"):
+            self.ctm = self.ctm @ m
+        if self.ctm_end is not None and self.active_transform in (
+                "all", "end"):
+            self.ctm_end = self.ctm_end @ m
 
     def _pts(self, pts):
         h = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
@@ -337,7 +353,12 @@ class PbrtParser:
         assert ts.next() == "["
         v = [float(ts.next()) for _ in range(16)]
         assert ts.next() == "]"
-        self.ctm = np.asarray(v, np.float64).reshape(4, 4).T  # column-major
+        m = np.asarray(v, np.float64).reshape(4, 4).T  # column-major
+        if self.active_transform in ("all", "start"):
+            self.ctm = m
+        if self.ctm_end is not None and self.active_transform in (
+                "all", "end"):
+            self.ctm_end = m.copy()
 
     def _d_ConcatTransform(self, ts):
         assert ts.next() == "["
@@ -364,12 +385,15 @@ class PbrtParser:
     def _d_AttributeBegin(self, ts):
         self.stack.append(
             (self.ctm.copy(), self.cur_material, self.cur_area_light,
-             self.reverse, self.cur_interface)
+             self.reverse, self.cur_interface,
+             None if self.ctm_end is None else self.ctm_end.copy(),
+             self.active_transform)
         )
 
     def _d_AttributeEnd(self, ts):
         (self.ctm, self.cur_material, self.cur_area_light, self.reverse,
-         self.cur_interface) = self.stack.pop()
+         self.cur_interface, self.ctm_end,
+         self.active_transform) = self.stack.pop()
 
     _d_TransformBegin = _d_AttributeBegin
     _d_TransformEnd = _d_AttributeEnd
@@ -383,12 +407,16 @@ class PbrtParser:
         self.transform_times = (float(ts.next()), float(ts.next()))
 
     def _d_ActiveTransform(self, ts):
+        """ActiveTransform StartTime|EndTime|All (scene.cpp:446-460):
+        selects which CTM keyframe subsequent transform directives update.
+        Differing keyframes on an ObjectInstance make it an animated
+        instance (AnimatedPrimitive, cpu/primitive.h:86-119)."""
         which = ts.next()
-        self.warnings.append(
-            f"ActiveTransform {which}: keyframed scene transforms are "
-            "supported programmatically (core.transform.AnimatedTransform "
-            "+ camera.motion); per-shape animation is a planned tier"
-        )
+        if self.ctm_end is None:
+            self.ctm_end = self.ctm.copy()
+        self.active_transform = {
+            "StartTime": "start", "EndTime": "end", "All": "all"
+        }.get(which, "all")
 
     def _d_Include(self, ts):
         name = ts.next()[1:-1]
@@ -1307,30 +1335,95 @@ class PbrtParser:
         self.objects[name] = []
         self._d_AttributeBegin(ts)
         self._object_base_ctm = self.ctm.copy()
+        self.object_base[name] = self._object_base_ctm
 
     def _d_ObjectEnd(self, ts):
         self._d_AttributeEnd(ts)
         self.cur_object = None
 
     def _d_ObjectInstance(self, ts):
+        """True instancing: record (prototype, transform) — geometry stays
+        unique and the sweep accelerator traverses per-instance
+        (scene.cpp:1352-1557; TransformedPrimitive cpu/primitive.h:86-119).
+        Emissive objects fall back to flattening: the reference errors on
+        area lights under instancing (scene.cpp 'area lights not supported
+        with object instancing'); flattening keeps them rendering."""
         name = ts.next()[1:-1]
-        for tris, mat, area in self.objects.get(name, []):
-            # Object tris were stored in the object-space CTM; re-transform
-            # into the instance CTM relative to the object base.
-            base_inv = np.linalg.inv(self._object_base_ctm)
-            local = tris.reshape(-1, 3) @ base_inv[:3, :3].T + base_inv[:3, 3]
-            h = np.concatenate([local, np.ones((len(local), 1))], axis=1)
-            world = (h @ self.ctm.T)[:, :3].reshape(-1, 3, 3)
-            saved_mat, saved_light = self.cur_material, self.cur_area_light
-            self.cur_material, self.cur_area_light = mat, area
-            self._emit_triangles(world)
-            self.cur_material, self.cur_area_light = saved_mat, saved_light
+        entries = self.objects.get(name, [])
+        if not entries:
+            return
+        if any(area is not None for _, _, area in entries):
+            self.warnings.append(
+                f"ObjectInstance '{name}': emissive object flattened "
+                "(reference: area lights unsupported under instancing)"
+            )
+            for tris, mat, area in entries:
+                base_inv = np.linalg.inv(self.object_base[name])
+                local = (tris.reshape(-1, 3) @ base_inv[:3, :3].T
+                         + base_inv[:3, 3])
+                h = np.concatenate(
+                    [local, np.ones((len(local), 1))], axis=1
+                )
+                world = (h @ self.ctm.T)[:, :3].reshape(-1, 3, 3)
+                saved_mat = self.cur_material
+                saved_light = self.cur_area_light
+                self.cur_material, self.cur_area_light = mat, area
+                self._emit_triangles(world)
+                self.cur_material, self.cur_area_light = (
+                    saved_mat, saved_light)
+            return
+        o2w_end = self.ctm_end if self.ctm_end is not None else self.ctm
+        self.instances.append(
+            (name, self.ctm.copy(), o2w_end.copy())
+        )
 
     # -- finalize ------------------------------------------------------------
+
+    def _build_instances(self):
+        """Append prototype triangles (object space, unique) to the
+        triangle arrays and return (proto_ranges, proto_id, o2w, o2w_end)
+        instance tables, or None when no instances were recorded."""
+        if not self.instances:
+            return None
+        root_count = len(self.tris)
+        proto_ranges = []
+        name_to_pid = {}
+        inst_pid, inst_o2w, inst_o2w_end = [], [], []
+        if root_count:
+            # Non-instanced top-level geometry = prototype 0 under one
+            # identity instance.
+            proto_ranges.append((0, root_count))
+            inst_pid.append(0)
+            inst_o2w.append(np.eye(4, dtype=np.float32))
+            inst_o2w_end.append(np.eye(4, dtype=np.float32))
+        for name, o2w, o2w_end in self.instances:
+            if name not in name_to_pid:
+                base_inv = np.linalg.inv(self.object_base[name])
+                start = len(self.tris)
+                for tris, mat, _area in self.objects[name]:
+                    local = (tris.reshape(-1, 3) @ base_inv[:3, :3].T
+                             + base_inv[:3, 3]).reshape(-1, 3, 3)
+                    for i, t in enumerate(local):
+                        self.tris.append(t.astype(np.float32))
+                        self.tri_mat.append(mat)
+                        self.tri_light.append(-1)
+                        self.tri_face.append(i)
+                name_to_pid[name] = len(proto_ranges)
+                proto_ranges.append((start, len(self.tris) - start))
+            inst_pid.append(name_to_pid[name])
+            inst_o2w.append(o2w.astype(np.float32))
+            inst_o2w_end.append(o2w_end.astype(np.float32))
+        return (
+            proto_ranges,
+            np.asarray(inst_pid, np.int32),
+            np.stack(inst_o2w),
+            np.stack(inst_o2w_end),
+        )
 
     def build(self):
         """Returns (scene, camera, settings dict)."""
         self.buffer_cache.report_stats()
+        inst_tables = self._build_instances()
         geom = GeometryBuffers.build(
             tri_verts=np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
             tri_mat=np.asarray(self.tri_mat, np.int32),
@@ -1399,7 +1492,27 @@ class PbrtParser:
             geom=geom, materials=materials, lights=lights, textures=textures,
             medium=self.scene_medium, media_stack=media_stack,
         )
-        scene = scene.with_accel()
+        if inst_tables is not None:
+            from ..accel.instances import build_animated_instances
+            from ..ops.sweep import build_sweep
+
+            proto_ranges, pid, o2w, o2w_end = inst_tables
+            moving = np.abs(o2w - o2w_end).max(axis=(1, 2)) > 1e-7
+            sweep = build_sweep(
+                np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
+                proto_ranges=proto_ranges,
+                instances=(pid[~moving], o2w[~moving]),
+            ) if (~moving).any() else None
+            anim = None
+            if moving.any():
+                anim = build_animated_instances(
+                    np.asarray(self.tris, np.float32).reshape(-1, 3, 3),
+                    proto_ranges, pid[moving], o2w[moving], o2w_end[moving],
+                    times=self.transform_times,
+                )
+            scene = scene.replace(sweep=sweep, anim=anim)
+        else:
+            scene = scene.with_accel()
 
         c2w_np = np.linalg.inv(self.world_to_camera)
         c2w = tfm.Transform.from_matrix(c2w_np.astype(np.float32))

@@ -136,6 +136,16 @@ class PathIntegrator:
         s = wl.lam.shape[-1]
         have_lights = scene.lights.n_lights > 0
 
+        # Per-ray shutter time for animated instances: the SAME dim-5 draw
+        # that drives camera motion blur (render.py camera_rays_full), so
+        # camera and shape motion stay consistent along a path.
+        ray_time = None
+        if getattr(scene, "anim", None) is not None:
+            u_t = sampler.get_1d(pixel, sample_idx, 5)
+            ray_time = scene.anim.time0 + u_t * (
+                scene.anim.time1 - scene.anim.time0
+            )
+
         init = {
             "o": o,
             "d": d,
@@ -195,6 +205,7 @@ class PathIntegrator:
                 isect = _save(accel_api.closest(
                     scene, o, d,
                     tmax=jnp.where(active, jnp.inf, 0.0),
+                    time=ray_time,
                 ))
             hit = active & isect.valid
             y = None
@@ -434,6 +445,7 @@ class PathIntegrator:
                         jnp.where(need_shadow[..., None], so, jnp.zeros_like(so) + 1e8),
                         wi_sh,
                         jnp.where(need_shadow, smax, 0.0),
+                        time=ray_time,
                     ))
                 if record:
                     y["occ"] = occluded
@@ -535,6 +547,7 @@ class PathIntegrator:
                 isect = accel_api.closest(
                     scene, final["o"], d_f,
                     tmax=jnp.where(active, jnp.inf, 0.0),
+                    time=ray_time,
                 )
             if record:
                 rec_term_out = {

@@ -43,23 +43,39 @@ class Scene:
     # aggregate (KdTreeAggregate); parity engine, cluster kernel is the
     # TPU performance path.
     kdtree: Optional[object] = None
+    # Optional candidate-sweep accelerator (ops.sweep.SweepAccel) —
+    # XLA-side per-tile candidate culling + t-ordered Pallas sweep; the
+    # only accelerator supporting object instancing. Preferred over
+    # `clusters` when present.
+    sweep: Optional[object] = None
+    # Animated instances (accel.instances.AnimatedInstances): TRS-
+    # keyframed TransformedPrimitives handled in a separate per-instance
+    # pass (accel/api.py). None = no motion-blurred instances.
+    anim: Optional[object] = None
 
-    def with_accel(self, threshold: int = 1024) -> "Scene":
+    def with_accel(self, threshold: int = 1024, kind: str = "auto") -> "Scene":
         """Attach the triangle intersector fitting the scene size.
 
         Up to `threshold` triangles: the Pallas brute-force VMEM kernel
         (ops/smallscene.py — scalar-broadcast triangle walk, ~10x the XLA
-        dense tester). Above it: Morton clusters + the Pallas cull/test
-        kernel (ops/cluster.py).
+        dense tester). Above it: per-tile candidate culling + t-ordered
+        sweep kernel (ops/sweep.py; kind="sweep") or the Morton cluster
+        cull/test kernel (ops/cluster.py; kind="cluster").
+        kind="auto" honors the PBRT_TPU_ACCEL env var, defaulting to
+        sweep.
         """
+        import os
+
         import numpy as np
 
-        from .ops.cluster import build_clusters
         from .ops.smallscene import build_smallscene
 
+        explicit = kind != "auto"
+        if kind == "auto":
+            kind = os.environ.get("PBRT_TPU_ACCEL", "cluster")
         if self.geom.num_triangles == 0:
             return self
-        if self.geom.num_triangles <= threshold:
+        if self.geom.num_triangles <= threshold and not explicit:
             return self.replace(
                 small=build_smallscene(
                     np.asarray(self.geom.tri_verts),
@@ -67,12 +83,20 @@ class Scene:
                     np.asarray(self.geom.tri_light),
                 )
             )
-        return self.replace(
-            clusters=build_clusters(
-                np.asarray(self.geom.tri_verts),
-                np.asarray(self.geom.tri_mat),
-                np.asarray(self.geom.tri_light),
+        if kind == "cluster":
+            from .ops.cluster import build_clusters
+
+            return self.replace(
+                clusters=build_clusters(
+                    np.asarray(self.geom.tri_verts),
+                    np.asarray(self.geom.tri_mat),
+                    np.asarray(self.geom.tri_light),
+                )
             )
+        from .ops.sweep import build_sweep
+
+        return self.replace(
+            sweep=build_sweep(np.asarray(self.geom.tri_verts))
         )
 
     def with_kdtree(self, max_prims: int = 4) -> "Scene":
