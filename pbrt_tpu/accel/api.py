@@ -219,23 +219,13 @@ def _merge_disk_cyl(geom, o, d, isect: Interaction) -> Interaction:
     return upd
 
 
-@jax.named_scope("accel/closest")
-def closest(scene, o, d, tmax=None, time=None) -> Interaction:
+def _tri_closest_once(scene, o, d, tmax):
+    """One triangle-family closest-hit query via the scene's accelerator
+    (sweep / smallscene / clusters / dense oracle). Returns a dict with
+    t (inf = miss), prim (-1 = miss), u, v, ng, mat, light."""
     geom = scene.geom
     small = getattr(scene, "small", None)
     sweep = getattr(scene, "sweep", None)
-    anim = getattr(scene, "anim", None)
-    if scene.bvh is None and getattr(scene, "clusters", None) is None \
-            and small is None and getattr(scene, "kdtree", None) is None \
-            and sweep is None and anim is None:
-        return _merge_disk_cyl(
-            geom, o, d, dense.intersect_closest(geom, o, d, tmax)
-        )
-
-    n_rays = o.shape[0]
-    if tmax is None:
-        tmax = jnp.full((n_rays,), _INF, o.dtype)
-
     if sweep is not None:
         from ..ops.sweep import sweep_intersect
 
@@ -252,6 +242,155 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
             )
         else:
             u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
+    elif small is not None and jax.default_backend() != "cpu":
+        # The brute-force VMEM kernel; on CPU the interpreter would walk
+        # the grid in Python, so the dense XLA tester (bit-equivalent,
+        # gated by tests/test_intersect.py) serves there instead.
+        from ..ops.smallscene import smallscene_intersect
+
+        res = smallscene_intersect(small, o, d, tmax, any_hit=False)
+        t, prim = res["t"], res["prim"]
+        u, v, ng = res["u"], res["v"], res["n"]
+        mat, light = res["mat"], res["light"]
+    elif scene.clusters is not None:
+        from ..ops.cluster import cluster_intersect
+
+        interp = jax.default_backend() == "cpu"
+        perm, invp = ray_sort_perm(o, d, tmax)
+        res = cluster_intersect(
+            scene.clusters, o[perm], d[perm], tmax[perm], any_hit=False,
+            interpret=interp, defer_attrs=True,
+        )
+        t, prim = res["t"][invp], res["prim"][invp]
+        u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
+    elif geom.num_triangles > 0 and getattr(scene, "anim", None) is None:
+        t, prim, u, v = dense.intersect_closest_tri(geom, o, d, tmax)
+        u, v, ng, mat, light0 = resolve_tri_attrs(geom, o, d, prim)
+        light = light0
+    else:
+        # Animated-instances-only scene (prototypes are object space and
+        # must not be intersected directly), or no triangles at all.
+        n_rays = o.shape[0]
+        t = jnp.full((n_rays,), _INF, o.dtype)
+        prim = jnp.full((n_rays,), -1, jnp.int32)
+        u = jnp.zeros((n_rays,), o.dtype)
+        v = jnp.zeros((n_rays,), o.dtype)
+        ng = jnp.zeros((n_rays, 3), o.dtype)
+        mat = jnp.zeros((n_rays,), jnp.int32)
+        light = jnp.full((n_rays,), -1, jnp.int32)
+    return {"t": t, "prim": prim, "u": u, "v": v, "ng": ng,
+            "mat": mat, "light": light}
+
+
+_ALPHA_ROUNDS = 4
+
+
+def _alpha_at(scene, o, d, res):
+    """Alpha of each hit: per-triangle constant x alpha texture at the
+    hit uv (GeometricPrimitive alpha, cpu/primitive.h:59-63)."""
+    geom = scene.geom
+    prim_s = jnp.clip(
+        jnp.maximum(res["prim"], 0), 0, max(geom.num_triangles - 1, 0)
+    )
+    base = jnp.asarray(geom.tri_alpha)[prim_s]
+    texid = jnp.asarray(geom.tri_alpha_tex)[prim_s]
+    tex = getattr(scene, "textures", None)
+    if tex is None:
+        return base
+    from ..textures.buffers import evaluate_float
+
+    uv = jnp.stack([res["u"], res["v"]], axis=-1)
+    p_hit = o + res["t"][:, None] * d
+    p_hit = jnp.where(jnp.isfinite(p_hit), p_hit, 0.0)
+    a = evaluate_float(tex, texid, uv, p_hit, jnp.ones_like(base))
+    return base * a
+
+
+def _alpha_rand(o, d, k):
+    """Deterministic per-ray uniform for the stochastic alpha test —
+    hashed from the ray itself like the reference's HashFloat(o, d)
+    (BasicTextureEvaluator alpha; gpu any-hit)."""
+    from ..core.rng import pcg4d
+
+    def b(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    h0, _, _, _ = pcg4d(
+        b(o[:, 0]) ^ b(d[:, 1]),
+        b(o[:, 1]) ^ b(d[:, 2]),
+        b(o[:, 2]) ^ b(d[:, 0]),
+        jnp.uint32(k + 1),
+    )
+    return (h0 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _tri_closest(scene, o, d, tmax):
+    """Triangle closest hit with the alpha-mask restart loop: alpha-cut
+    hits (alpha == 0, or stochastic alpha test failure) are skipped by
+    re-tracing from just past the hit, up to _ALPHA_ROUNDS surfaces
+    (rays still cut after that accept the hit — bounded bias, opaque
+    scenes compile the single-query path via the static has_alpha flag).
+    Matches the reference's any-hit alpha programs
+    (gpu/optix.cu __anyhit__, cpu GeometricPrimitive::Intersect)."""
+    res = _tri_closest_once(scene, o, d, tmax)
+    if not scene.geom.has_alpha:
+        return res
+    s = jnp.zeros_like(res["t"])
+    # Only hits not yet alpha-tested are candidates: a hit that SURVIVES
+    # its stochastic test is final (re-testing every round would cut
+    # surviving hits with probability 1-alpha^K).
+    pending = jnp.ones(res["t"].shape, bool)
+    for k in range(_ALPHA_ROUNDS - 1):
+        with jax.named_scope(f"accel/alpha_restart{k}"):
+            a = _alpha_at(scene, o, d, res)
+            hit = res["prim"] >= 0
+            u01 = _alpha_rand(o, d, k)
+            cut = pending & hit & (a < 1.0) & ((a <= 0.0) | (u01 > a))
+            pending = cut
+            eps = 1e-4 * jnp.maximum(1.0, jnp.abs(res["t"]))
+            s_new = jnp.where(cut, res["t"] + eps, s)
+            o_shift = o + s_new[:, None] * d
+            tq = jnp.where(cut, tmax - s_new, 0.0)
+            r2 = _tri_closest_once(scene, o_shift, d, tq)
+            t2 = r2["t"] + s_new
+            res = {
+                "t": jnp.where(cut, t2, res["t"]),
+                "prim": jnp.where(cut, r2["prim"], res["prim"]),
+                "u": jnp.where(cut, r2["u"], res["u"]),
+                "v": jnp.where(cut, r2["v"], res["v"]),
+                "ng": jnp.where(cut[:, None], r2["ng"], res["ng"]),
+                "mat": jnp.where(cut, r2["mat"], res["mat"]),
+                "light": jnp.where(cut, r2["light"], res["light"]),
+            }
+            s = s_new
+    return res
+
+
+@jax.named_scope("accel/closest")
+def closest(scene, o, d, tmax=None, time=None) -> Interaction:
+    geom = scene.geom
+    small = getattr(scene, "small", None)
+    sweep = getattr(scene, "sweep", None)
+    anim = getattr(scene, "anim", None)
+    if scene.bvh is None and getattr(scene, "clusters", None) is None \
+            and small is None and getattr(scene, "kdtree", None) is None \
+            and sweep is None and anim is None and not geom.has_alpha:
+        return _merge_disk_cyl(
+            geom, o, d, dense.intersect_closest(geom, o, d, tmax)
+        )
+
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), _INF, o.dtype)
+
+    if sweep is not None or scene.clusters is not None \
+            or small is not None or geom.has_alpha \
+            or (scene.bvh is None
+                and getattr(scene, "kdtree", None) is None):
+        res = _tri_closest(scene, o, d, tmax)
+        t, prim = res["t"], res["prim"]
+        u, v, ng = res["u"], res["v"], res["ng"]
+        mat, light = res["mat"], res["light"]
     elif getattr(scene, "kdtree", None) is not None:
         from .kdtree import kdtree_intersect
 
@@ -265,30 +404,7 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
         )
         mat = gather_rows(geom.tri_mat, tri_idx)
         light = gather_rows(geom.tri_light, tri_idx)
-    elif small is not None and jax.default_backend() != "cpu":
-        # The brute-force VMEM kernel; on CPU the interpreter would walk
-        # the grid in Python, so the dense XLA tester (bit-equivalent,
-        # gated by tests/test_intersect.py) serves there instead.
-        from ..ops.smallscene import smallscene_intersect
-
-        res = smallscene_intersect(small, o, d, tmax, any_hit=False)
-        t, prim = res["t"], res["prim"]
-        u, v, ng = res["u"], res["v"], res["n"]
-        mat, light = res["mat"], res["light"]
-    elif small is not None:
-        return dense.intersect_closest(geom, o, d, tmax)
-    elif scene.clusters is not None:
-        from ..ops.cluster import cluster_intersect
-
-        interp = jax.default_backend() == "cpu"
-        perm, invp = ray_sort_perm(o, d, tmax)
-        res = cluster_intersect(
-            scene.clusters, o[perm], d[perm], tmax[perm], any_hit=False,
-            interpret=interp, defer_attrs=True,
-        )
-        t, prim = res["t"][invp], res["prim"][invp]
-        u, v, ng, mat, light = resolve_tri_attrs(geom, o, d, prim)
-    elif scene.bvh is not None:
+    else:
         t, prim, u, v = bvh_intersect(scene.bvh, o, d, tmax, any_hit=False)
         t = jnp.where(prim >= 0, t, _INF)
         n_tri = geom.num_triangles
@@ -299,16 +415,6 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
         )
         mat = gather_rows(geom.tri_mat, tri_idx)
         light = gather_rows(geom.tri_light, tri_idx)
-    else:
-        # Animated-instances-only scene: static triangles are prototypes
-        # (object space) and must not be intersected directly.
-        t = jnp.full((n_rays,), _INF, o.dtype)
-        prim = jnp.full((n_rays,), -1, jnp.int32)
-        u = jnp.zeros((n_rays,), o.dtype)
-        v = jnp.zeros((n_rays,), o.dtype)
-        ng = jnp.zeros((n_rays, 3), o.dtype)
-        mat = jnp.zeros((n_rays,), jnp.int32)
-        light = jnp.full((n_rays,), -1, jnp.int32)
 
     if anim is not None:
         from .instances import animated_best
@@ -422,6 +528,14 @@ def any_hit(scene, o, d, tmax, time=None) -> jnp.ndarray:
 
         return occ | animated_any(anim, geom, o, d, tmax, time)
 
+    if geom.has_alpha:
+        # Alpha-masked geometry: the first-hit-wins any-hit kernels
+        # cannot skip cut surfaces, so shadow rays run the closest-hit
+        # alpha restart loop (reference: __anyhit__ alpha programs,
+        # gpu/optix.cu; stochastic test identical to closest).
+        res = _tri_closest(scene, o, d, tmax)
+        occ = res["prim"] >= 0
+        return _merge_anyhit_quadrics(geom, o, d, tmax, with_anim(occ))
     if sweep is not None:
         from ..ops.sweep import sweep_intersect
 

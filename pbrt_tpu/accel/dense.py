@@ -236,6 +236,30 @@ def _scan_tri_blocks(soa, tp, o, d, tmax, fold, init):
     return out
 
 
+def intersect_closest_tri(geom: GeometryBuffers, o, d, tmax=None):
+    """Triangle-family-only closest hit: (t (inf=miss), prim (-1=miss),
+    u, v) — the dense oracle counterpart of the Pallas kernels' deferred
+    output, for the api-level alpha restart loop."""
+    n_rays = o.shape[0]
+    if tmax is None:
+        tmax = jnp.full((n_rays,), INF, o.dtype)
+    best = (
+        jnp.full((n_rays,), INF, o.dtype),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays,), o.dtype),
+        jnp.zeros((n_rays,), o.dtype),
+    )
+    if geom.num_triangles > 0:
+        soa, tp = _tri_soa(geom.tri_verts)
+
+        def fold(carry, blk, base):
+            t, u, v = _intersect_tri_block(o, d, tmax, blk)
+            return _fold_min(carry, t, u, v, base)
+
+        best = _scan_tri_blocks(soa, tp, o, d, tmax, fold, best)
+    return best
+
+
 def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
     """Closest-hit query for a batch of rays.
 

@@ -188,6 +188,11 @@ class PbrtParser:
         self.tri_mat = []
         self.tri_light = []
         self.tri_face = []  # Ptex faceIndex: triangle index within its shape
+        # Geometry alpha masks (cpu/primitive.h:59-63): per-triangle
+        # (constant, texture-id) from the shape's "alpha" parameter.
+        self.tri_alpha = []
+        self.tri_alpha_tex = []
+        self.cur_alpha = (1.0, -1)
         self.spheres = []
         self.sph_mat = []
         self.sph_light = []  # per-sphere index into sphere_lights (-1 none)
@@ -1111,6 +1116,8 @@ class PbrtParser:
                 self.tri_mat.append(self.cur_material)
                 self.tri_light.append(base + i)
                 self.tri_face.append(i)
+                self.tri_alpha.append(self.cur_alpha[0])
+                self.tri_alpha_tex.append(self.cur_alpha[1])
             return
         for i, t in enumerate(tris_world):
             v = t.astype(np.float32)
@@ -1120,6 +1127,8 @@ class PbrtParser:
             self.tri_mat.append(self.cur_material)
             self.tri_light.append(-1)
             self.tri_face.append(i)
+            self.tri_alpha.append(self.cur_alpha[0])
+            self.tri_alpha_tex.append(self.cur_alpha[1])
 
     def _d_Shape(self, ts):
         mat_save = self.cur_material
@@ -1132,6 +1141,16 @@ class PbrtParser:
     def _shape_inner(self, ts):
         stype = ts.next()[1:-1]
         p = _parse_params(ts)
+        # Shape alpha mask ("float alpha" constant or "texture alpha";
+        # GeometricPrimitive alpha, cpu/primitive.h:59-63).
+        a_tex = self._tex_ref(p, "alpha")
+        if a_tex >= 0:
+            self.cur_alpha = (1.0, a_tex)
+        else:
+            try:
+                self.cur_alpha = (float(_get(p, "alpha", 1.0)), -1)
+            except (TypeError, ValueError):
+                self.cur_alpha = (1.0, -1)
         if stype == "trianglemesh":
             pts = self.buffer_cache.canonical(
                 _get_vec(p, "P").reshape(-1, 3)
@@ -1324,7 +1343,8 @@ class PbrtParser:
             return
         if self.cur_object is not None:
             self.objects[self.cur_object].append(
-                (tris, self.cur_material, self.cur_area_light)
+                (tris, self.cur_material, self.cur_area_light,
+                 self.cur_alpha)
             )
         else:
             self._emit_triangles(tris)
@@ -1352,12 +1372,12 @@ class PbrtParser:
         entries = self.objects.get(name, [])
         if not entries:
             return
-        if any(area is not None for _, _, area in entries):
+        if any(area is not None for _, _, area, _ in entries):
             self.warnings.append(
                 f"ObjectInstance '{name}': emissive object flattened "
                 "(reference: area lights unsupported under instancing)"
             )
-            for tris, mat, area in entries:
+            for tris, mat, area, alpha in entries:
                 base_inv = np.linalg.inv(self.object_base[name])
                 local = (tris.reshape(-1, 3) @ base_inv[:3, :3].T
                          + base_inv[:3, 3])
@@ -1368,7 +1388,9 @@ class PbrtParser:
                 saved_mat = self.cur_material
                 saved_light = self.cur_area_light
                 self.cur_material, self.cur_area_light = mat, area
+                saved_alpha, self.cur_alpha = self.cur_alpha, alpha
                 self._emit_triangles(world)
+                self.cur_alpha = saved_alpha
                 self.cur_material, self.cur_area_light = (
                     saved_mat, saved_light)
             return
@@ -1400,7 +1422,7 @@ class PbrtParser:
             if name not in name_to_pid:
                 base_inv = np.linalg.inv(self.object_base[name])
                 start = len(self.tris)
-                for tris, mat, _area in self.objects[name]:
+                for tris, mat, _area, alpha in self.objects[name]:
                     local = (tris.reshape(-1, 3) @ base_inv[:3, :3].T
                              + base_inv[:3, 3]).reshape(-1, 3, 3)
                     for i, t in enumerate(local):
@@ -1408,6 +1430,8 @@ class PbrtParser:
                         self.tri_mat.append(mat)
                         self.tri_light.append(-1)
                         self.tri_face.append(i)
+                        self.tri_alpha.append(alpha[0])
+                        self.tri_alpha_tex.append(alpha[1])
                 name_to_pid[name] = len(proto_ranges)
                 proto_ranges.append((start, len(self.tris) - start))
             inst_pid.append(name_to_pid[name])
@@ -1429,6 +1453,8 @@ class PbrtParser:
             tri_mat=np.asarray(self.tri_mat, np.int32),
             tri_light=np.asarray(self.tri_light, np.int32),
             tri_face=np.asarray(self.tri_face, np.int32),
+            tri_alpha=np.asarray(self.tri_alpha, np.float32),
+            tri_alpha_tex=np.asarray(self.tri_alpha_tex, np.int32),
             spheres=np.asarray(self.spheres, np.float32).reshape(-1, 4)
             if self.spheres else None,
             sph_mat=np.asarray(self.sph_mat, np.int32)

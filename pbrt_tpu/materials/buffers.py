@@ -33,6 +33,10 @@ MAT_RETRO = 11
 # Material-less boundary (pbrt Material "" / "none"): rays pass straight
 # through, only switching media (interface.h MediumInterface shapes).
 MAT_INTERFACE = 12
+# NormalizedFresnelBxDF (bxdfs.h:1206): the BSSRDF Sw lobe; set per-lane by
+# the subsurface transport (models/path.py) and by the MAT_SUBSURFACE remap
+# in materials/bxdf.py — not a parser-level material kind.
+MAT_NORMFRESNEL = 13
 
 # RGB projections of measured metal IOR spectra (eta, k) — standard values
 # used across renderers for Cu/Au/Ag/Al.

@@ -77,6 +77,34 @@ def diffuse_pdf(wo, wi):
     return jnp.where(same, cosine_hemisphere_pdf(_abscos(wi)), 0.0)
 
 
+# --- Normalized Fresnel (bxdfs.h:1206 NormalizedFresnelBxDF) ----------------
+# The BSSRDF's Sw exit/entry lobe: cosine-distributed directions weighted by
+# the normalized Fresnel transmittance (1 - Fr(cos_i, eta)) / (c pi) with
+# c = 1 - 2 FresnelMoment1(1/eta), times eta^2 for radiance transport
+# (non-symmetric scattering correction).
+
+
+def normfresnel_f(eta, wo, wi, n_lam):
+    from .bssrdf import fresnel_moment1
+
+    same = _same_hemisphere(wo, wi)
+    c = 1.0 - 2.0 * fresnel_moment1(1.0 / eta)
+    fr = sc.fr_dielectric(_abscos(wi), eta)
+    val = (1.0 - fr) / (c * jnp.pi) * (eta ** 2)
+    val = jnp.where(same, val, 0.0)
+    return jnp.broadcast_to(
+        val[..., None], val.shape + (n_lam,)
+    )
+
+
+def normfresnel_sample(eta, wo, u2, n_lam):
+    wi = sample_cosine_hemisphere(u2)
+    flip = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)
+    wi = wi.at[..., 2].multiply(flip)
+    pdf = cosine_hemisphere_pdf(_abscos(wi))
+    return wi, normfresnel_f(eta, wo, wi, n_lam), pdf
+
+
 # --- Diffuse transmission (bxdfs.h DiffuseTransmissionBxDF) -----------------
 
 
@@ -528,15 +556,26 @@ def evaluate(params, wo, wi, lam):
     if params.get("any_subsurface"):
         from .buffers import MAT_SUBSURFACE
 
-        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
-        # diffusion transport happens in the integrator (bssrdf.py).
-        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
+        # Subsurface surfaces expose the NormalizedFresnelBxDF Sw lobe
+        # (bxdfs.h:1206); the diffusion transport happens in the
+        # integrator (bssrdf.py).
+        from .buffers import MAT_NORMFRESNEL
+
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_NORMFRESNEL, kind)
     albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
     alpha = sc.roughness_to_alpha(params["roughness"])
 
     f = jnp.where(
         (kind == MAT_DIFFUSE)[..., None], diffuse_f(albedo, wo, wi), 0.0
     )
+    if params.get("any_subsurface"):
+        from .buffers import MAT_NORMFRESNEL
+
+        f = jnp.where(
+            (kind == MAT_NORMFRESNEL)[..., None],
+            normfresnel_f(params["eta"], wo, wi, lam.shape[-1]),
+            f,
+        )
     any_cond = params["any_conductor"]
     if any_cond:
         eta_c, k_c = _gather_spectral_eta_k(params, lam)
@@ -603,9 +642,12 @@ def pdf(params, wo, wi):
     if params.get("any_subsurface"):
         from .buffers import MAT_SUBSURFACE
 
-        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
-        # diffusion transport happens in the integrator (bssrdf.py).
-        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
+        # Subsurface surfaces expose the NormalizedFresnelBxDF Sw lobe
+        # (bxdfs.h:1206): cosine-distributed, same pdf as diffuse.
+        from .buffers import MAT_NORMFRESNEL
+
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_NORMFRESNEL, kind)
+        kind = jnp.where(kind == MAT_NORMFRESNEL, MAT_DIFFUSE, kind)
     alpha = sc.roughness_to_alpha(params["roughness"])
     p = jnp.where(kind == MAT_DIFFUSE, diffuse_pdf(wo, wi), 0.0)
     if params["any_conductor"]:
@@ -653,14 +695,26 @@ def sample(params, wo, lam, u2, uc):
     if params.get("any_subsurface"):
         from .buffers import MAT_SUBSURFACE
 
-        # Subsurface surfaces expose a Lambertian entry/exit lobe here; the
-        # diffusion transport happens in the integrator (bssrdf.py).
-        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_DIFFUSE, kind)
+        # Subsurface surfaces expose the NormalizedFresnelBxDF Sw lobe
+        # (bxdfs.h:1206); same cosine sampling, Fresnel-shaped weight.
+        from .buffers import MAT_NORMFRESNEL
+
+        kind = jnp.where(kind == MAT_SUBSURFACE, MAT_NORMFRESNEL, kind)
     albedo = rgb2spec.eval_sigmoid(params["albedo_coeffs"], lam)
     alpha = sc.roughness_to_alpha(params["roughness"])
 
     wi, f, p = diffuse_sample(albedo, wo, u2)
     specular = jnp.zeros(wo.shape[:-1], bool)
+
+    if params.get("any_subsurface"):
+        from .buffers import MAT_NORMFRESNEL
+
+        m = kind == MAT_NORMFRESNEL
+        f = jnp.where(
+            m[..., None],
+            normfresnel_f(params["eta"], wo, wi, lam.shape[-1]),
+            f,
+        )
 
     if params["any_conductor"]:
         eta_c, k_c = _gather_spectral_eta_k(params, lam)

@@ -301,7 +301,7 @@ class PathIntegrator:
                 from ..core import rgb2spec as _r2s
                 from ..materials import scattering as _sc
                 from ..materials.bssrdf import subsurface_exit
-                from ..materials.buffers import MAT_DIFFUSE, MAT_SUBSURFACE
+                from ..materials.buffers import MAT_SUBSURFACE
 
                 is_ss = active & (params["kind"] == MAT_SUBSURFACE)
                 alb_ss = _r2s.eval_sigmoid(params["albedo_coeffs"], lam)
@@ -341,17 +341,14 @@ class PathIntegrator:
                 )
                 t1, t2 = shading_frame(ns, isect.dpdu)
                 wo_l = to_local(isect.wo, t1, t2, ns)
-                # Exit lobe: white Lambertian (albedo lives in the profile
-                # weight; the Sw Fresnel shaping is folded into its
-                # normalization — documented approximation).
+                # Exit lobe: NormalizedFresnelBxDF (bxdfs.h:1206) — the
+                # Sw term of the separable BSSRDF; bxdf.evaluate/sample
+                # dispatch it for MAT_NORMFRESNEL lanes (eta rides in
+                # params["eta"]).
+                from ..materials.buffers import MAT_NORMFRESNEL
+
                 params["kind"] = jnp.where(
-                    is_ss, MAT_DIFFUSE, params["kind"]
-                )
-                white = _r2s.fit_albedo(
-                    jnp.full((1, 3), 0.995, jnp.float32)
-                )
-                params["albedo_coeffs"] = jnp.where(
-                    is_ss[:, None], white, params["albedo_coeffs"]
+                    is_ss, MAT_NORMFRESNEL, params["kind"]
                 )
 
             # --- Sampler draws + light sample for NEE, then ONE shading

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.pytree import pytree
+from ..core.pytree import pytree, static_field
 
 
 @pytree
@@ -43,6 +43,11 @@ class GeometryBuffers:
     # Per-triangle face index within its source shape (Ptex faceIndex;
     # the reference's TriangleMesh faceIndices, util/mesh.h).
     tri_face: jnp.ndarray
+    # Geometry alpha masks (GeometricPrimitive alpha,
+    # cpu/primitive.h:59-63 / gpu any-hit alpha tests): per-triangle
+    # constant alpha (1 = opaque) and alpha-texture id (-1 = none).
+    tri_alpha: jnp.ndarray
+    tri_alpha_tex: jnp.ndarray
     sph: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
@@ -55,6 +60,9 @@ class GeometryBuffers:
     cyl_mat: jnp.ndarray
     blp: jnp.ndarray
     blp_mat: jnp.ndarray
+    # has_alpha gates the traversal restart loop statically so opaque
+    # scenes compile the plain single-query path.
+    has_alpha: bool = static_field(default=False)
 
     @staticmethod
     def build(
@@ -62,7 +70,7 @@ class GeometryBuffers:
         spheres=None,
         sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
         disk=None, disk_mat=None, cyl=None, cyl_mat=None,
-        blp=None, blp_mat=None,
+        blp=None, blp_mat=None, tri_alpha=None, tri_alpha_tex=None,
     ) -> "GeometryBuffers":
         def _arr(x, shape, dtype):
             if x is None:
@@ -84,6 +92,22 @@ class GeometryBuffers:
                 jnp.zeros((t,), jnp.int32)
                 if tri_face is None
                 else jnp.asarray(tri_face, jnp.int32)
+            ),
+            tri_alpha=(
+                jnp.ones((t,), jnp.float32)
+                if tri_alpha is None
+                else jnp.asarray(tri_alpha, jnp.float32)
+            ),
+            tri_alpha_tex=(
+                jnp.full((t,), -1, jnp.int32)
+                if tri_alpha_tex is None
+                else jnp.asarray(tri_alpha_tex, jnp.int32)
+            ),
+            has_alpha=bool(
+                (tri_alpha is not None
+                 and bool(np.any(np.asarray(tri_alpha) < 1.0)))
+                or (tri_alpha_tex is not None
+                    and bool(np.any(np.asarray(tri_alpha_tex) >= 0)))
             ),
             sph=_arr(spheres, (s, 4), jnp.float32),
             sph_mat=_arr(sph_mat, (s,), jnp.int32),
