@@ -47,7 +47,22 @@ def main(argv=None):
                         "print its radiance record (the reference's "
                         "--debugstart, cpu/integrators.cpp:69-88; the "
                         "stateless RNG makes the replay exact)")
+    p.add_argument("--format", action="store_true", dest="format_scene",
+                   help="print a reformatted version of the scene to "
+                        "stdout and exit (pbrt --format)")
+    p.add_argument("--toply", action="store_true",
+                   help="like --format, but write large triangle meshes "
+                        "to PLY files (pbrt --toply)")
+    p.add_argument("--upgrade", action="store_true",
+                   help="upgrade a pbrt-v3 scene to the v4 format while "
+                        "reformatting (pbrt --upgrade)")
     args = p.parse_args(argv)
+
+    if args.format_scene or args.toply or args.upgrade:
+        from .format_scene import format_file
+
+        format_file(args.scene, to_ply=args.toply, upgrade=args.upgrade)
+        return
 
     from ..io.image import write_exr
     from ..io.parser import load_pbrt
