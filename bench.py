@@ -54,7 +54,25 @@ def _setup_jax():
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        # Allow the host CPU platform alongside the TPU (default stays
+        # TPU): scene builds run host-side and upload in ONE transfer
+        # (utils/device_pack.py) instead of one tunnel RPC per array.
+        jax.config.update(
+            "jax_platforms",
+            (jax.config.jax_platforms or "axon") + ",cpu",
+        )
+    except Exception:
+        pass
     return jax
+
+
+def _build_packed(builder):
+    """Host-side scene build + single-transfer upload."""
+    from pbrt_tpu.utils.device_pack import build_on_host, pack_to_device
+
+    scene, camera = build_on_host(builder)
+    return pack_to_device((scene, camera))
 
 
 def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
@@ -67,8 +85,11 @@ def _cornell(res=256, spp=128, samples_per_pass=64, max_depth=5):
     from pbrt_tpu.render import camera_rays
     from pbrt_tpu.scenes.cornell import cornell_box
 
-    scene, camera = cornell_box(resolution=(res, res))
-    scene = scene.with_accel()
+    scene, camera = _build_packed(
+        lambda: (lambda s, c: (s.with_accel(), c))(
+            *cornell_box(resolution=(res, res))
+        )
+    )
     # No Russian roulette inside the fixed-depth loop: killed rays free no
     # kernel time in the masked-lockstep design (see round-2 notes).
     integrator = PathIntegrator(max_depth=max_depth, rr_start_depth=max_depth)
@@ -133,8 +154,11 @@ def _cornell_fwdbwd(res=256, spp=64, samples_per_pass=2, max_depth=5):
     from pbrt_tpu.render import camera_rays
     from pbrt_tpu.scenes.cornell import cornell_box
 
-    scene, camera = cornell_box(resolution=(res, res))
-    scene = scene.with_accel()
+    scene, camera = _build_packed(
+        lambda: (lambda s, c: (s.with_accel(), c))(
+            *cornell_box(resolution=(res, res))
+        )
+    )
     integrator = PathIntegrator(max_depth=max_depth, rr_start_depth=max_depth)
     nx, ny = camera.resolution
     npix = nx * ny
@@ -207,7 +231,7 @@ def _scene_fwd(builder, res, spp, samples_per_pass, max_depth,
     from pbrt_tpu.films.rgb import spectrum_to_rgb
     from pbrt_tpu.render import camera_rays
 
-    scene, camera = builder(resolution=(res, res))
+    scene, camera = _build_packed(lambda: builder(resolution=(res, res)))
     if integrator_name == "volpath":
         from pbrt_tpu.models.volpath import VolPathIntegrator
 

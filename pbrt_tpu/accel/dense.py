@@ -42,7 +42,11 @@ def _tri_soa(tri_verts):
     e1 = tri_verts[:, 1] - tri_verts[:, 0]
     e2 = tri_verts[:, 2] - tri_verts[:, 0]
     out = {}
-    for name, arr in (("v0", v0), ("e1", e1), ("e2", e2)):
+    # Raw v1/v2 ride along (not reconstructed from the edges): the
+    # watertight tester needs the EXACT shared vertices so adjacent
+    # triangles see bitwise-identical edge functions.
+    for name, arr in (("v0", v0), ("e1", e1), ("e2", e2),
+                      ("v1", tri_verts[:, 1]), ("v2", tri_verts[:, 2])):
         for c, ax in (("x", 0), ("y", 1), ("z", 2)):
             out[name + c] = jnp.pad(arr[:, ax], (0, tp - t))
     return out, tp
@@ -88,6 +92,87 @@ def _intersect_tri_block(o, d, tmax, blk):
     return jnp.where(hit, t, INF), u, v
 
 
+def _intersect_tri_block_wt(o, d, tmax, blk):
+    """Watertight ray-triangle test (shapes.h:820-930, Woop et al.):
+    translate to the ray origin, permute axes so |d_z| is maximal, shear
+    to align the ray with +z, then signed 2D edge functions decide the
+    hit. Edge functions are computed with DifferenceOfProducts (correctly
+    rounded), so the shared edge of two adjacent triangles yields exactly
+    negated values — a ray through the edge registers on at least one of
+    the two triangles (no cracks). Replaces the reference's
+    double-precision fallback (float64 is disabled under JAX's default
+    config; a correctly-rounded f32 product difference serves the same
+    sign-stability purpose).
+
+    o, d: (N, 3); tmax: (N,); blk: (B,) component dict (needs raw
+    v0/v1/v2). Returns (t, u, v) each (N, B), t = inf where missed.
+    """
+    from ..core.floats import difference_of_products as dop
+
+    ax, ay, az = jnp.abs(d[:, 0:1]), jnp.abs(d[:, 1:2]), jnp.abs(d[:, 2:3])
+    kz = jnp.where(
+        (az >= ax) & (az >= ay), 2, jnp.where(ay >= ax, 1, 0)
+    )  # (N, 1)
+
+    def permute(cx, cy, cz):
+        """Per-ray axis rotation so component kz lands in z."""
+        px = jnp.where(kz == 0, cy, jnp.where(kz == 1, cz, cx))
+        py = jnp.where(kz == 0, cz, jnp.where(kz == 1, cx, cy))
+        pz = jnp.where(kz == 0, cx, jnp.where(kz == 1, cy, cz))
+        return px, py, pz
+
+    dxp, dyp, dzp = permute(d[:, 0:1], d[:, 1:2], d[:, 2:3])
+    # Winding consistency: if d_z < 0, swap x and y (shapes.h:842).
+    neg = dzp < 0.0
+    dxp, dyp = jnp.where(neg, dyp, dxp), jnp.where(neg, dxp, dyp)
+    sx = -dxp / dzp
+    sy = -dyp / dzp
+    sz = 1.0 / dzp
+
+    xs, ys, zs = [], [], []
+    for vname in ("v0", "v1", "v2"):
+        cx = blk[vname + "x"][None] - o[:, 0:1]
+        cy = blk[vname + "y"][None] - o[:, 1:2]
+        cz = blk[vname + "z"][None] - o[:, 2:3]
+        px, py, pz = permute(cx, cy, cz)
+        px, py = jnp.where(neg, py, px), jnp.where(neg, px, py)
+        xs.append(px + sx * pz)
+        ys.append(py + sy * pz)
+        zs.append(sz * pz)
+    x0, x1, x2 = xs
+    y0, y1, y2 = ys
+    z0, z1, z2 = zs
+
+    e0 = dop(x1, y2, y1, x2)
+    e1_ = dop(x2, y0, y2, x0)
+    e2_ = dop(x0, y1, y0, x1)
+    same_sign = ((e0 >= 0) & (e1_ >= 0) & (e2_ >= 0)) | (
+        (e0 <= 0) & (e1_ <= 0) & (e2_ <= 0)
+    )
+    det = e0 + e1_ + e2_
+    zt = e0 * z0 + e1_ * z1 + e2_ * z2
+    # Sign-aware t window test before the division (shapes.h:886-893).
+    tm = tmax[:, None]
+    bad_neg = (det < 0) & ((zt >= 0) | (zt < tm * det))
+    bad_pos = (det > 0) & ((zt <= 0) | (zt > tm * det))
+    hit = same_sign & (det != 0) & ~bad_neg & ~bad_pos
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    t = zt * inv_det
+    u = e1_ * inv_det  # barycentric weight of v1 (MT's u)
+    v = e2_ * inv_det
+    return jnp.where(hit, t, INF), u, v
+
+
+# Watertight triangles are the production dense tester (robust shared
+# edges); the Pallas kernels keep Moller-Trumbore — matching the
+# reference's own CPU(watertight)/GPU(hardware-MT) split.
+WATERTIGHT = True
+
+
+def _tri_block_tester():
+    return _intersect_tri_block_wt if WATERTIGHT else _intersect_tri_block
+
+
 def _sph_soa(sph):
     s = sph.shape[0]
     sp = _pad_lanes(s)
@@ -101,20 +186,96 @@ def _sph_soa(sph):
 
 
 def _intersect_sph_block(o, d, tmax, blk):
-    """Ray-sphere on (N, B) components -> t (N, B), inf where missed."""
-    ocx = o[:, 0:1] - blk["cx"][None]
-    ocy = o[:, 1:2] - blk["cy"][None]
-    ocz = o[:, 2:3] - blk["cz"][None]
-    b = ocx * d[:, 0:1] + ocy * d[:, 1:2] + ocz * d[:, 2:3]
+    """Ray-sphere on (N, B) components -> t (N, B), inf where missed.
+
+    Runs the quadratic through ULP-widened interval arithmetic
+    (core/interval.py), the robustness scheme of the reference's
+    Sphere::BasicIntersect (shapes.h:110-180): catastrophic cancellation
+    in b^2 - 4ac for distant/grazing spheres widens the root interval
+    instead of silently flipping the hit decision; the accept/reject
+    tests use the conservative interval bounds."""
+    from ..core.interval import Interval
+
+    ex = Interval.exact
+    ocx = ex(o[:, 0:1]) - ex(blk["cx"][None])
+    ocy = ex(o[:, 1:2]) - ex(blk["cy"][None])
+    ocz = ex(o[:, 2:3]) - ex(blk["cz"][None])
+    dx, dy, dz = ex(d[:, 0:1]), ex(d[:, 1:2]), ex(d[:, 2:3])
+    a = dx.sqr() + dy.sqr() + dz.sqr()
+    b = (ocx * dx + ocy * dy + ocz * dz) * ex(2.0)
     r = blk["r"][None]
-    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-    disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = -b - sq
-    t1 = -b + sq
-    t = jnp.where(t0 > 0.0, t0, t1)
-    hit = (disc > 0.0) & (r > 0.0) & (t > 0.0) & (t < tmax[:, None])
-    return jnp.where(hit, t, INF)
+    c = ocx.sqr() + ocy.sqr() + ocz.sqr() - ex(r).sqr()
+    # Cancellation-free discriminant (shapes.h:118-136): the closest
+    # approach f = oc - (b/2a) d has no large-magnitude cancellation, and
+    # discrim = 4a (r + |f|)(r - |f|) keeps the grazing decision sharp
+    # where b^2 - 4ac in f32 is pure noise.
+    half_t = b / (a * ex(2.0))
+    fx = ocx - half_t * dx
+    fy = ocy - half_t * dy
+    fz = ocz - half_t * dz
+    len_sq = fx.sqr() + fy.sqr() + fz.sqr()
+    flen = Interval(
+        lo=jnp.sqrt(jnp.maximum(len_sq.lo, 0.0)),
+        hi=jnp.sqrt(jnp.maximum(len_sq.hi, 0.0)),
+    )
+    ri = ex(r)
+    disc = (ri + flen) * (ri - flen) * a * ex(4.0)
+    has = disc.hi >= 0.0
+    root = Interval(
+        lo=jnp.sqrt(jnp.maximum(disc.lo, 0.0)),
+        hi=jnp.sqrt(jnp.maximum(disc.hi, 0.0)),
+    )
+    # Stable quadratic (interval.h Quadratic): q = -0.5 (b ± root),
+    # t0 = q/a, t1 = c/q, ordered.
+    neg_b = b.lo < 0.0  # b is far from 0 whenever it matters
+    q = Interval(
+        lo=jnp.where(neg_b, -0.5 * (b.lo - root.hi),
+                     -0.5 * (b.hi + root.hi)),
+        hi=jnp.where(neg_b, -0.5 * (b.hi - root.lo),
+                     -0.5 * (b.lo + root.lo)),
+    )
+    q = Interval(lo=jnp.minimum(q.lo, q.hi), hi=jnp.maximum(q.lo, q.hi))
+    ra = q / a
+    rb = c / q
+    t0 = Interval(
+        lo=jnp.minimum(ra.lo, rb.lo), hi=jnp.minimum(ra.hi, rb.hi)
+    )
+    t1 = Interval(
+        lo=jnp.maximum(ra.lo, rb.lo), hi=jnp.maximum(ra.hi, rb.hi)
+    )
+    # Reference accept logic (shapes.h:137-146): reject when the nearer
+    # root starts beyond tmax or the farther root can't be positive;
+    # take t0 unless it may be behind the origin, then t1.
+    tm = tmax[:, None]
+    use_t0 = t0.lo > 0.0
+    pick_lo = jnp.where(use_t0, t0.lo, t1.lo)
+    pick_hi = jnp.where(use_t0, t0.hi, t1.hi)
+    t_mid = 0.5 * (pick_lo + pick_hi)
+    # Newton-refine the midpoint: the interval only BOUNDS the root
+    # (width grows with distance); two steps of t <- t - f(t)/f'(t) on
+    # f(t) = |oc + t d|^2 - r^2, evaluated at the advanced point where
+    # the cancellation is mild, recover full float32 accuracy — the
+    # role of the reference's hit-point reprojection (shapes.h:152).
+    ocx_m, ocy_m, ocz_m = (
+        0.5 * (iv.lo + iv.hi) for iv in (ocx, ocy, ocz)
+    )
+    dxm, dym, dzm = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    for _ in range(2):
+        qx = ocx_m + t_mid * dxm
+        qy = ocy_m + t_mid * dym
+        qz = ocz_m + t_mid * dzm
+        f = qx * qx + qy * qy + qz * qz - r * r
+        fp = 2.0 * (qx * dxm + qy * dym + qz * dzm)
+        t_mid = t_mid - f / jnp.where(jnp.abs(fp) < 1e-12, 1e-12, fp)
+    hit = (
+        has
+        & (r > 0.0)
+        & (t0.lo <= tm)
+        & (t1.hi > 0.0)
+        & (pick_hi <= tm)
+        & (t_mid > 0.0)
+    )
+    return jnp.where(hit, t_mid, INF)
 
 
 def _crv_soa(crv):
@@ -253,7 +414,7 @@ def intersect_closest_tri(geom: GeometryBuffers, o, d, tmax=None):
         soa, tp = _tri_soa(geom.tri_verts)
 
         def fold(carry, blk, base):
-            t, u, v = _intersect_tri_block(o, d, tmax, blk)
+            t, u, v = _tri_block_tester()(o, d, tmax, blk)
             return _fold_min(carry, t, u, v, base)
 
         best = _scan_tri_blocks(soa, tp, o, d, tmax, fold, best)
@@ -283,7 +444,7 @@ def intersect_closest(geom: GeometryBuffers, o, d, tmax=None) -> Interaction:
         soa, tp = _tri_soa(geom.tri_verts)
 
         def fold(carry, blk, base):
-            t, u, v = _intersect_tri_block(o, d, tmax, blk)
+            t, u, v = _tri_block_tester()(o, d, tmax, blk)
             return _fold_min(carry, t, u, v, base)
 
         best = _scan_tri_blocks(soa, tp, o, d, tmax, fold, best)
@@ -409,7 +570,7 @@ def intersect_any(geom: GeometryBuffers, o, d, tmax) -> jnp.ndarray:
         soa, tp = _tri_soa(geom.tri_verts)
 
         def fold(carry, blk, base):
-            t, _, _ = _intersect_tri_block(o, d, tmax, blk)
+            t, _, _ = _tri_block_tester()(o, d, tmax, blk)
             return carry | jnp.any(jnp.isfinite(t), axis=1)
 
         occluded = _scan_tri_blocks(soa, tp, o, d, tmax, fold, occluded)
