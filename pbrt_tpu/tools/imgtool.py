@@ -145,18 +145,30 @@ def cmd_denoise(args):
 
 
 def cmd_makesky(args):
-    """Analytic sun/sky environment map (imgtool makesky; Preetham model
-    standing in for the vendored Hosek-Wilkie dataset)."""
-    from ..utils.sky import make_sky_latlong
+    """Analytic sun/sky environment map (imgtool makesky). Default model:
+    Hosek-Wilkie spectral (the dataset the reference vendors,
+    src/ext/skymodel); --model preetham keeps the older analytic model."""
+    if args.model == "hosek":
+        from ..utils.sky import make_sky_latlong_hosek
 
-    img = make_sky_latlong(
-        res_y=args.resolution,
-        sun_elevation_deg=args.elevation,
-        sun_azimuth_deg=args.azimuth,
-        turbidity=args.turbidity,
-        sun_intensity=args.sun_intensity,
-        sun_half_angle=args.sun_half_angle,
-    )
+        img = make_sky_latlong_hosek(
+            res_y=args.resolution,
+            sun_elevation_deg=args.elevation,
+            sun_azimuth_deg=args.azimuth,
+            turbidity=args.turbidity,
+            albedo=args.albedo,
+        )
+    else:
+        from ..utils.sky import make_sky_latlong
+
+        img = make_sky_latlong(
+            res_y=args.resolution,
+            sun_elevation_deg=args.elevation,
+            sun_azimuth_deg=args.azimuth,
+            turbidity=args.turbidity,
+            sun_intensity=args.sun_intensity,
+            sun_half_angle=args.sun_half_angle,
+        )
     _write(args.output, img)
 
 
@@ -354,6 +366,9 @@ def main(argv=None):
     c.add_argument("--turbidity", type=float, default=3.0)
     c.add_argument("--sun-intensity", type=float, default=100.0)
     c.add_argument("--sun-half-angle", type=float, default=0.2665)
+    c.add_argument("--model", choices=("hosek", "preetham"),
+                   default="hosek")
+    c.add_argument("--albedo", type=float, default=0.3)
     c.set_defaults(fn=cmd_makesky)
 
     c = sub.add_parser("average")

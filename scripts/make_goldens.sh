@@ -5,7 +5,7 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 "$REPO/scripts/build_reference.sh"
 cd "$REPO/tests/goldens"
-for s in box spheres spot fog; do
+for s in box spheres spot fog conductor dielectric texture imagetex envmap plymesh bdpt sppm mlt; do
     /tmp/refpbrt/build/pbrt --seed 1 --quiet "$s.pbrt"
 done
 echo "goldens regenerated in $REPO/tests/goldens"
