@@ -141,6 +141,13 @@ def _aabb_hit(lo, hi, o, inv_d, t_best):
     return (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_best)
 
 
+def _aabb_entry(lo, hi, o, inv_d):
+    """Conservative slab entry distance (clamped at 0) for child ordering."""
+    ta = (lo - o) * inv_d
+    tb = (hi - o) * inv_d
+    return jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0)
+
+
 def _leaf_test(bvh: BVH, leaf_idx, o, d, t_best, best_prim, best_u, best_v,
                any_hit: bool):
     """Test the leaf_size triangles of leaf `leaf_idx` (N,) for each ray."""
@@ -225,23 +232,30 @@ def bvh_intersect(bvh: BVH, o, d, tmax, any_hit: bool = False):
         best_u = jnp.where(do_leaf, u_new, best_u)
         best_v = jnp.where(do_leaf, v_new, best_v)
 
-        # --- internal: push both children (near-child ordering TODO).
+        # --- internal: push both children near-first (far child pushed
+        # first so the near one pops first — aggregates.cpp:611-622's
+        # dirIsNeg child ordering, done here with the actual slab entry
+        # distances so closest-hit t_best shrinks as early as possible).
         do_push = hit_box & ~is_leaf
         child0 = 2 * node + 1
         child1 = 2 * node + 2
-        # push child1 then child0 (pop order visits child0 first).
+        t0 = _aabb_entry(bvh.node_lo[child0], bvh.node_hi[child0], o, inv_d)
+        t1 = _aabb_entry(bvh.node_lo[child1], bvh.node_hi[child1], o, inv_d)
+        near_is_0 = t0 <= t1
+        near = jnp.where(near_is_0, child0, child1)
+        far = jnp.where(near_is_0, child1, child0)
         onehot = (
             jnp.arange(stack_depth, dtype=jnp.int32)[None, :] == sp[:, None]
         )
         stack = jnp.where(
-            onehot & do_push[:, None], child1[:, None], stack
+            onehot & do_push[:, None], far[:, None], stack
         )
         sp = jnp.where(do_push, sp + 1, sp)
         onehot = (
             jnp.arange(stack_depth, dtype=jnp.int32)[None, :] == sp[:, None]
         )
         stack = jnp.where(
-            onehot & do_push[:, None], child0[:, None], stack
+            onehot & do_push[:, None], near[:, None], stack
         )
         sp = jnp.where(do_push, sp + 1, sp)
         return stack, sp, t_best, best_prim, best_u, best_v

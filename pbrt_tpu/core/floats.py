@@ -59,19 +59,37 @@ def two_sum(a, b):
     return s, err
 
 
+def _dekker_split(a):
+    """Veltkamp split: a = hi + lo with hi holding the top 12 bits."""
+    c = jnp.float32(4097.0) * a  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
 def two_prod(a, b):
-    """Error-free product via FMA: a * b = p + err (math.h TwoProd)."""
+    """Error-free product: a * b = p + err (math.h TwoProd).
+
+    Dekker/Veltkamp splitting, NOT the `a*b - p` FMA idiom: whether XLA
+    contracts that expression to fma() depends on fusion/CSE context
+    (observed: under jit, CSE of an already-computed product kills one
+    contraction but not its twin, so DifferenceOfProducts of two equal
+    products returned a tiny NONZERO — fake watertight triangle hits on
+    degenerate pads). The split version is exact in plain IEEE ops."""
     p = a * b
-    err = jnp.float32(0.0) + (a * b - p)  # XLA fuses to fma(a, b, -p)
+    ah, al = _dekker_split(a)
+    bh, bl = _dekker_split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, err
 
 
 def difference_of_products(a, b, c, d):
-    """a*b - c*d with one FMA round-off correction (math.h:57)."""
-    cd = c * d
-    dop = a * b - cd
-    err = -(c * d - cd)
-    return dop + err
+    """a*b - c*d with round-off correction (math.h:57). Exactly
+    antisymmetric: difference_of_products(c, d, a, b) is the exact
+    negation, and equal products give exactly zero — the property the
+    watertight triangle test's shared edges rely on."""
+    p1, e1 = two_prod(a, b)
+    p2, e2 = two_prod(c, d)
+    return (p1 - p2) + (e1 - e2)
 
 
 def compensated_sum(values, axis=0):
