@@ -21,7 +21,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from pbrt_tpu.accel.api import ray_sort_perm  # noqa: E402
 from pbrt_tpu.ops.cluster import cluster_intersect  # noqa: E402
-from pbrt_tpu.ops.pairs import pairs_intersect  # noqa: E402
 from pbrt_tpu.render import camera_rays  # noqa: E402
 from pbrt_tpu.scenes.meshes import killeroo_class_scene  # noqa: E402
 
@@ -48,9 +47,7 @@ def main():
     o, d, _ = camera_rays(camera, pixel, sample, jnp.int32(0))
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
-    import os
-    impl = {"cluster": cluster_intersect, "pairs": pairs_intersect}[
-        os.environ.get("IMPL", "pairs")]
+    impl = cluster_intersect
 
     @jax.jit
     def closest_sorted(o, d, tmax):
