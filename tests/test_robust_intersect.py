@@ -148,3 +148,29 @@ def test_interval_sphere_regular_scene_unchanged():
     assert (hit == hit_ref).mean() > 0.9999
     both = hit & hit_ref
     np.testing.assert_allclose(t[both], t_ref[both], rtol=1e-3, atol=1e-3)
+
+
+def test_watertight_jit_matches_eager_on_degenerate_pads():
+    """Regression (round 5): the FMA-contraction DifferenceOfProducts
+    idiom produced jit-only false hits on all-zero pad triangles (XLA CSE
+    killed one contraction of the pair). Dekker splitting must keep jit
+    and eager bitwise-consistent, and zero triangles must never hit."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    tris = np.zeros((8, 3, 3), np.float32)  # all degenerate
+    tris[:4] = rng.uniform(-1, 1, (4, 3, 3)).astype(np.float32)
+    soa, _ = dense._tri_soa(jnp.asarray(tris))
+    n = 512
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    d = jnp.asarray(d_np)
+    tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    t_e, _, _ = dense._intersect_tri_block_wt(o, d, tmax, soa)
+    t_j, _, _ = jax.jit(dense._intersect_tri_block_wt)(o, d, tmax, soa)
+    np.testing.assert_array_equal(
+        np.isfinite(np.asarray(t_e)), np.isfinite(np.asarray(t_j))
+    )
+    # Degenerate (zero) triangles never hit, under jit or eager.
+    assert not np.isfinite(np.asarray(t_j)[:, 4:8]).any()
