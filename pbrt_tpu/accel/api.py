@@ -154,6 +154,25 @@ def resolve_tri_attrs(geom, o, d, prim):
     return u, v, ng, mat, light
 
 
+def interp_tri_uv(geom, prim, u, v):
+    """Map barycentric (u, v) to the mesh's declared texture coordinates
+    (util/mesh.h TriangleMesh uv; triangle.cpp InterpolateUV). The default
+    per-triangle uv table is the identity map, so meshes without "point2
+    uv" keep raw barycentrics. Non-triangle prims pass through."""
+    n_tri = geom.num_triangles
+    if n_tri == 0:
+        return u, v
+    is_tri = (prim >= 0) & (prim < n_tri)
+    safe = jnp.clip(jnp.maximum(prim, 0), 0, n_tri - 1)
+    uvt = jnp.asarray(geom.tri_uv)[safe]  # (N, 3, 2)
+    w0 = (1.0 - u - v)[:, None]
+    uvm = w0 * uvt[:, 0] + u[:, None] * uvt[:, 1] + v[:, None] * uvt[:, 2]
+    return (
+        jnp.where(is_tri, uvm[:, 0], u),
+        jnp.where(is_tri, uvm[:, 1], v),
+    )
+
+
 def _sphere_best(geom, o, d, tmax):
     """Best sphere hit: (t, idx) with idx -1 on miss."""
     sblk, _ = dense._sph_soa(geom.sph)
@@ -299,7 +318,8 @@ def _alpha_at(scene, o, d, res):
         return base
     from ..textures.buffers import evaluate_float
 
-    uv = jnp.stack([res["u"], res["v"]], axis=-1)
+    um, vm = interp_tri_uv(scene.geom, res["prim"], res["u"], res["v"])
+    uv = jnp.stack([um, vm], axis=-1)
     p_hit = o + res["t"][:, None] * d
     p_hit = jnp.where(jnp.isfinite(p_hit), p_hit, 0.0)
     a = evaluate_float(tex, texid, uv, p_hit, jnp.ones_like(base))
@@ -375,9 +395,12 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
     if scene.bvh is None and getattr(scene, "clusters", None) is None \
             and small is None and getattr(scene, "kdtree", None) is None \
             and sweep is None and anim is None and not geom.has_alpha:
-        return _merge_disk_cyl(
-            geom, o, d, dense.intersect_closest(geom, o, d, tmax)
+        isect = dense.intersect_closest(geom, o, d, tmax)
+        u2, v2 = interp_tri_uv(
+            geom, isect.prim, isect.uv[:, 0], isect.uv[:, 1]
         )
+        isect = isect.replace(uv=jnp.stack([u2, v2], axis=-1))
+        return _merge_disk_cyl(geom, o, d, isect)
 
     n_rays = o.shape[0]
     if tmax is None:
@@ -432,6 +455,11 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
         ng = jnp.where(bet[:, None], ng_a, ng)
         mat = jnp.where(bet, mat_a, mat)
         light = jnp.where(bet, light_a, light)
+
+    # Barycentrics -> declared mesh texture coordinates (identity when no
+    # "point2 uv" was given). Must precede the analytic-family merges,
+    # whose prims carry their own uv conventions.
+    u, v = interp_tri_uv(geom, prim, u, v)
 
     n_sph = geom.num_spheres
     if n_sph > 0:

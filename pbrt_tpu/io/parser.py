@@ -193,6 +193,9 @@ class PbrtParser:
         self.tri_alpha = []
         self.tri_alpha_tex = []
         self.cur_alpha = (1.0, -1)
+        # Per-triangle per-vertex texture coordinates; identity default.
+        self.tri_uv = []
+        self._pending_uv = None  # (n, 3, 2) for the shape being emitted
         self.spheres = []
         self.sph_mat = []
         self.sph_light = []  # per-sphere index into sphere_lights (-1 none)
@@ -871,9 +874,16 @@ class PbrtParser:
             elif img is not None:
                 from ..lights.envmap import EnvironmentMap
 
-                self.envmap = EnvironmentMap.from_latlong(
-                    np.asarray(img) * scale
-                )
+                img = np.asarray(img) * scale
+                if img.shape[0] == img.shape[1]:
+                    # Square images are equal-area octahedral maps — the
+                    # reference's required format (lights.cpp
+                    # ImageInfiniteLight "non-square" error).
+                    self.envmap = EnvironmentMap.build(img)
+                else:
+                    # 2:1 equirectangular convenience: resample
+                    # (imgtool makeequiarea).
+                    self.envmap = EnvironmentMap.from_latlong(img)
                 self.infinite = None
             elif portal is not None:
                 from ..lights.portal import PortalLight
@@ -1100,10 +1110,21 @@ class PbrtParser:
         local = np.asarray(tris, np.float32).reshape(-1, 3)
         return self._pts(local).reshape(-1, 3, 3)
 
+    _UV_IDENTITY = np.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32
+    )
+
     def _emit_triangles(self, tris_world):
         n = len(tris_world)
         if n == 0:
+            self._pending_uv = None
             return
+        uvs = self._pending_uv
+        self._pending_uv = None
+        if uvs is None:
+            uvs = np.broadcast_to(self._UV_IDENTITY, (n, 3, 2))
+        if self.reverse:
+            uvs = uvs[:, ::-1]
         light_id = -1
         if self.cur_area_light is not None:
             base = len(self.area_lights)
@@ -1118,6 +1139,7 @@ class PbrtParser:
                 self.tri_face.append(i)
                 self.tri_alpha.append(self.cur_alpha[0])
                 self.tri_alpha_tex.append(self.cur_alpha[1])
+                self.tri_uv.append(np.asarray(uvs[i], np.float32))
             return
         for i, t in enumerate(tris_world):
             v = t.astype(np.float32)
@@ -1129,6 +1151,7 @@ class PbrtParser:
             self.tri_face.append(i)
             self.tri_alpha.append(self.cur_alpha[0])
             self.tri_alpha_tex.append(self.cur_alpha[1])
+            self.tri_uv.append(np.asarray(uvs[i], np.float32))
 
     def _d_Shape(self, ts):
         mat_save = self.cur_material
@@ -1160,6 +1183,13 @@ class PbrtParser:
             )
             world = self._pts(pts)
             tris = world[idx]
+            uv = _get_vec(p, "uv")
+            if uv is None:
+                uv = _get_vec(p, "st")
+            if uv is not None:
+                self._pending_uv = np.asarray(
+                    uv, np.float32
+                ).reshape(-1, 2)[idx]
         elif stype == "plymesh":
             fn = _get(p, "filename")
             verts, faces = self.buffer_cache.read_ply(
@@ -1432,6 +1462,7 @@ class PbrtParser:
                         self.tri_face.append(i)
                         self.tri_alpha.append(alpha[0])
                         self.tri_alpha_tex.append(alpha[1])
+                        self.tri_uv.append(self._UV_IDENTITY)
                 name_to_pid[name] = len(proto_ranges)
                 proto_ranges.append((start, len(self.tris) - start))
             inst_pid.append(name_to_pid[name])
@@ -1455,6 +1486,7 @@ class PbrtParser:
             tri_face=np.asarray(self.tri_face, np.int32),
             tri_alpha=np.asarray(self.tri_alpha, np.float32),
             tri_alpha_tex=np.asarray(self.tri_alpha_tex, np.int32),
+            tri_uv=np.asarray(self.tri_uv, np.float32).reshape(-1, 3, 2),
             spheres=np.asarray(self.spheres, np.float32).reshape(-1, 4)
             if self.spheres else None,
             sph_mat=np.asarray(self.sph_mat, np.int32)

@@ -48,6 +48,12 @@ class GeometryBuffers:
     # constant alpha (1 = opaque) and alpha-texture id (-1 = none).
     tri_alpha: jnp.ndarray
     tri_alpha_tex: jnp.ndarray
+    # Per-triangle per-vertex texture coordinates (T, 3, 2) — the mesh
+    # "point2 uv"/"st" parameterization (util/mesh.h TriangleMesh::uv).
+    # Default is the identity map [(0,0),(1,0),(0,1)]: interpolation then
+    # returns the raw barycentrics, so meshes without declared uvs keep
+    # the historical behavior (and ptex's per-face barycentric indexing).
+    tri_uv: jnp.ndarray
     sph: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
@@ -71,6 +77,7 @@ class GeometryBuffers:
         sph_mat=None, sph_light=None, crv=None, crv_u=None, crv_mat=None,
         disk=None, disk_mat=None, cyl=None, cyl_mat=None,
         blp=None, blp_mat=None, tri_alpha=None, tri_alpha_tex=None,
+        tri_uv=None,
     ) -> "GeometryBuffers":
         def _arr(x, shape, dtype):
             if x is None:
@@ -102,6 +109,16 @@ class GeometryBuffers:
                 jnp.full((t,), -1, jnp.int32)
                 if tri_alpha_tex is None
                 else jnp.asarray(tri_alpha_tex, jnp.int32)
+            ),
+            tri_uv=(
+                jnp.broadcast_to(
+                    jnp.asarray(
+                        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], jnp.float32
+                    ),
+                    (t, 3, 2),
+                )
+                if tri_uv is None
+                else jnp.asarray(tri_uv, jnp.float32)
             ),
             has_alpha=bool(
                 (tri_alpha is not None

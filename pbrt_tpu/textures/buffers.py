@@ -315,6 +315,9 @@ def _image_lookup(tex, row, u, v, width):
     """Trilinear mip lookup through the shared flat stack."""
     if int(tex.img_flat.shape[0]) == 0:
         return jnp.zeros(u.shape + (3,), jnp.float32)
+    # ImageTextureBase flips t before lookup (textures.cpp:367): images
+    # index top-down, texture space bottom-up.
+    v = 1.0 - v
     ii = jnp.clip(row["img_index"], 0, tex.img_flat.shape[0] - 1)
     # Flatten the image axis into the texel axis so one MIPMap serves all.
     per = tex.img_flat.shape[1]

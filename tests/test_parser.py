@@ -117,10 +117,14 @@ def test_object_instancing():
     AttributeEnd
     """
     scene, _, _ = load_pbrt_string(text)
-    assert scene.geom.num_triangles == 2
-    v = np.asarray(scene.geom.tri_verts)
-    np.testing.assert_allclose(v[0][0], [5, 0, 0], atol=1e-5)
-    np.testing.assert_allclose(v[1][0], [0, 7, 0], atol=1e-5)
+    # True instancing (round 5): ONE prototype triangle stored, two
+    # instances in the sweep accel's tables (scene.cpp:1352-1557).
+    assert scene.geom.num_triangles == 1
+    assert scene.sweep is not None and scene.sweep.instanced
+    assert scene.sweep.o2w.shape[0] == 2
+    o2w = np.asarray(scene.sweep.o2w).reshape(2, 3, 4)
+    np.testing.assert_allclose(o2w[0][:, 3], [5, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(o2w[1][:, 3], [0, 7, 0], atol=1e-5)
 
 
 def test_ply_roundtrip(tmp_path):

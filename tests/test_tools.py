@@ -247,7 +247,7 @@ def test_imgtool_makesky(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "pbrt_tpu.tools.imgtool", "makesky", f,
          "--resolution", "32", "--elevation", "40",
-         "--sun-half-angle", "4.0"],
+         "--sun-half-angle", "4.0", "--model", "preetham"],
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr
