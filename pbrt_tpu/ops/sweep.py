@@ -306,10 +306,10 @@ def _candidates(accel: SweepAccel, o, d, tmax, n_tiles: int):
 
 
 def _sweep_kernel(
-    count_ref,  # (1, 1) SMEM int32
-    candc_ref,  # (1, E) int32 candidate cluster rows (t-sorted)
-    candi_ref,  # (1, E) int32 candidate instance ids
-    entert_ref,  # (1, E) f32 conservative entry t (ascending)
+    count_ref,  # (8, 1) int32 (row i%8 = this tile's candidate count)
+    candc_ref,  # (8, E) int32 candidate cluster rows (t-sorted)
+    candi_ref,  # (8, E) int32 candidate instance ids
+    entert_ref,  # (8, E) f32 conservative entry t (ascending)
     boxes_ref,  # (C, 8) object-space cluster AABBs
     w2o_ref,  # (I, 12) world->object affines
     v0x_ref, v0y_ref, v0z_ref,
@@ -326,13 +326,16 @@ def _sweep_kernel(
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]  # (8, 128) sublane-major
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     tmax = tmax_ref[:]
-    cnt = count_ref[0, 0]
+    # Candidate rows are delivered in blocks of 8 tiles (Mosaic requires
+    # sublane-divisible block shapes); this program's row within the block:
+    row = jax.lax.rem(pl.program_id(0), 8)
+    cnt = count_ref[row, 0]
     n_blocks = _SUB // _BLK
 
     def entry_body(k, t_best, prim, inst):
-        c = candc_ref[0, k]
+        c = candc_ref[row, k]
         if instanced:
-            i = candi_ref[0, k]
+            i = candi_ref[row, k]
             a00 = w2o_ref[i, 0]
             a01 = w2o_ref[i, 1]
             a02 = w2o_ref[i, 2]
@@ -497,7 +500,7 @@ def _sweep_kernel(
         # live lanes are occluded.
         kc = jnp.minimum(k, n_entries - 1)
         t_worst = jnp.max(t_best)
-        return (k < cnt) & (entert_ref[0, kc] < t_worst)
+        return (k < cnt) & (entert_ref[row, kc] < t_worst)
 
     def body(state):
         k, t_best, prim, inst = state
@@ -543,13 +546,23 @@ def _sweep_intersect_impl(accel: SweepAccel, o, d, tmax,
     tm = comp(tm_p)
 
     e = accel.n_entries
+    # Pad the tile axis of the candidate tables to a multiple of 8 so the
+    # (8, E) row blocks satisfy Mosaic's sublane divisibility.
+    tpad8 = (-n_tiles) % 8
+    if tpad8:
+        cand_c = jnp.pad(cand_c, ((0, tpad8), (0, 0)))
+        cand_i = jnp.pad(cand_i, ((0, tpad8), (0, 0)))
+        enter_t = jnp.pad(enter_t, ((0, tpad8), (0, 0)))
+        count = jnp.pad(count, ((0, tpad8), (0, 0)))
     ray_spec = pl.BlockSpec(
         (8, _SUB), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    row_i = pl.BlockSpec((1, e), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row_i = pl.BlockSpec(
+        (8, e), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+    )
     cnt_spec = pl.BlockSpec(
-        (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+        (8, 1), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
