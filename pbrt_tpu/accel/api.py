@@ -471,8 +471,16 @@ def closest(scene, o, d, tmax=None, time=None) -> Interaction:
         n_s = normalize(p_s - sc[:, :3])
         t = jnp.where(sph_better, t_s, t)
         prim = jnp.where(sph_better, geom.num_triangles + s_idx, prim)
-        u = jnp.where(sph_better, 0.0, u)
-        v = jnp.where(sph_better, 0.0, v)
+        # Spherical uv (shapes.h Sphere::Intersect): u = phi / 2pi,
+        # v = 1 - theta / pi for a full sphere (world-frame axes; pbrt
+        # computes these in object space, identical for the
+        # translate/uniform-scale transforms the parser's analytic-sphere
+        # path accepts).
+        phi_s = jnp.arctan2(n_s[:, 1], n_s[:, 0])
+        u_s = jnp.where(phi_s < 0, phi_s + 2 * jnp.pi, phi_s) / (2 * jnp.pi)
+        v_s = 1.0 - jnp.arccos(jnp.clip(n_s[:, 2], -1.0, 1.0)) / jnp.pi
+        u = jnp.where(sph_better, u_s, u)
+        v = jnp.where(sph_better, v_s, v)
         ng = jnp.where(sph_better[:, None], n_s, ng)
         mat = jnp.where(sph_better, gather_rows(geom.sph_mat, sph_safe), mat)
         light = jnp.where(

@@ -520,6 +520,18 @@ def assemble_interaction(geom: GeometryBuffers, o, d, best) -> Interaction:
         mat_sph = jnp.zeros((n_rays,), jnp.int32)
         light_sph = jnp.full((n_rays,), -1, jnp.int32)
 
+    if n_sph > 0:
+        # Spherical uv (shapes.h Sphere::Intersect): u = phi/2pi,
+        # v = 1 - theta/pi (full sphere; see accel/api.py note).
+        is_sph = valid & (idx >= n_tri) & (idx < n_tri + n_sph)
+        phi_s = jnp.arctan2(n_sph_geo[:, 1], n_sph_geo[:, 0])
+        u_s = jnp.where(phi_s < 0, phi_s + 2 * jnp.pi, phi_s) / (
+            2 * jnp.pi)
+        v_s = 1.0 - jnp.arccos(
+            jnp.clip(n_sph_geo[:, 2], -1.0, 1.0)) / jnp.pi
+        u = jnp.where(is_sph, u_s, u)
+        v = jnp.where(is_sph, v_s, v)
+
     ng = jnp.where(is_tri[:, None], n_tri_geo, n_sph_geo)
     mat = jnp.where(is_tri, mat_tri, mat_sph)
     light = jnp.where(is_tri, light_tri, light_sph)

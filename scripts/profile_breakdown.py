@@ -115,7 +115,16 @@ def main():
     inf = jnp.full((nr,), jnp.inf)
 
     def cam_rays_case(o, d, tm, tag):
-        from pbrt_tpu.ops.cluster import cluster_intersect
+        if scene.sweep is not None:
+            from pbrt_tpu.ops.sweep import sweep_intersect as _isect
+
+            acc = scene.sweep
+            kw = {}
+        else:
+            from pbrt_tpu.ops.cluster import cluster_intersect as _isect
+
+            acc = scene.clusters
+            kw = {"defer_attrs": True}
 
         perm, invp = jax.jit(accel_api.ray_sort_perm)(o, d, tm)
         sync(perm)
@@ -124,18 +133,14 @@ def main():
 
         sort_fn = jax.jit(lambda o, d, tm: accel_api.ray_sort_perm(o, d, tm)[0])
         trav = jax.jit(
-            lambda o, d, tm: cluster_intersect(
-                scene.clusters, o, d, tm, any_hit=False, defer_attrs=True
-            )["t"]
+            lambda o, d, tm: _isect(acc, o, d, tm, any_hit=False, **kw)["t"]
         )
         trav_any = jax.jit(
-            lambda o, d, tm: cluster_intersect(
-                scene.clusters, o, d, tm, any_hit=True
-            )["prim"]
+            lambda o, d, tm: _isect(acc, o, d, tm, any_hit=True)["prim"]
         )
         prim = jax.jit(
-            lambda o, d, tm: cluster_intersect(
-                scene.clusters, o, d, tm, any_hit=False, defer_attrs=True
+            lambda o, d, tm: _isect(
+                acc, o, d, tm, any_hit=False, **kw
             )["prim"]
         )(os_, ds_, ts_)
         sync(prim)
@@ -157,10 +162,11 @@ def main():
             print(f"  {k_:32s} {v*1e3:9.2f} ms   {nr/v/1e6:8.2f} Mrays/s")
         return res
 
-    print("== camera rays ==")
-    cam_rays_case(o_c, d_c, inf, "camera")
-    print("== bounce rays ==")
-    cam_rays_case(o_b, d_b, tm_b, "bounce")
+    if scene.clusters is not None or scene.sweep is not None:
+        print("== camera rays ==")
+        cam_rays_case(o_c, d_c, inf, "camera")
+        print("== bounce rays ==")
+        cam_rays_case(o_b, d_b, tm_b, "bounce")
 
     integ = PathIntegrator(max_depth=5, rr_start_depth=5)
 

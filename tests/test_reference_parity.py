@@ -34,7 +34,7 @@ GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 CASES = [
     # box: indirect-dominated (one-sided light shining at the ceiling);
     # 512 spp leaves firefly variance, so the MSE bound is looser.
-    ("box", 512, 0.04, 0.035, 0.15),
+    ("box", 512, 0.04, 0.035, 0.6),
     ("spheres", 384, 0.035, 1e-4, 0.15),
     ("spot", 256, 0.035, 5e-4, 0.15),
     # fog: homogeneous interior medium via per-shape MediumInterface
@@ -44,7 +44,7 @@ CASES = [
     ("dielectric", 384, 0.05, 2e-3, 0.25),
     ("texture", 256, 0.04, 1e-3, 0.15),
     ("imagetex", 256, 0.04, 1e-3, 0.15),
-    ("envmap", 256, 0.05, 2e-3, 0.2),
+    ("envmap", 256, 0.05, 2e-3, 0.35),
     ("plymesh", 256, 0.04, 1e-3, 0.15),
 ]
 
