@@ -331,11 +331,25 @@ def _sweep_kernel(
     row = jax.lax.rem(pl.program_id(0), 8)
     cnt = count_ref[row, 0]
     n_blocks = _SUB // _BLK
+    # Dynamic LANE indexing is not lowerable on TPU (only the sublane dim
+    # may be dynamic): read this tile's candidate rows as (1, E) vectors
+    # and select entry k by masked reduction — a handful of VPU ops per
+    # while iteration, far below the per-candidate MT work.
+    cc_row = candc_ref[pl.ds(row, 1), :]  # (1, E) int32
+    ci_row = candi_ref[pl.ds(row, 1), :]
+    et_row = entert_ref[pl.ds(row, 1), :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, cc_row.shape, 1)
+
+    def sel_i(vec, k):
+        return jnp.sum(jnp.where(lane == k, vec, 0))
+
+    def sel_f(vec, k):
+        return jnp.sum(jnp.where(lane == k, vec, 0.0))
 
     def entry_body(k, t_best, prim, inst):
-        c = candc_ref[row, k]
+        c = sel_i(cc_row, k)
         if instanced:
-            i = candi_ref[row, k]
+            i = sel_i(ci_row, k)
             a00 = w2o_ref[i, 0]
             a01 = w2o_ref[i, 1]
             a02 = w2o_ref[i, 2]
@@ -500,7 +514,7 @@ def _sweep_kernel(
         # live lanes are occluded.
         kc = jnp.minimum(k, n_entries - 1)
         t_worst = jnp.max(t_best)
-        return (k < cnt) & (entert_ref[row, kc] < t_worst)
+        return (k < cnt) & (sel_f(et_row, kc) < t_worst)
 
     def body(state):
         k, t_best, prim, inst = state
