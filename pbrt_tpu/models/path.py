@@ -59,9 +59,12 @@ class PathIntegrator:
     # Tag-sorted shading dispatch (materials/sorted.py): the wavefront
     # per-material kernel-specialization tier (surfscatter.cpp:39-58).
     # Bit-identical results; pays an argsort + gather/scatter per bounce to
-    # stop charging every lane for every material family present — a win
-    # once the scene mixes expensive families (coated/hair/measured).
-    sorted_shading: bool = static_field(default=False)
+    # stop charging every lane for every material family present.
+    # Measured break-even (scripts/measure_sorted_shading.py, v5e, round 5):
+    # diffuse/conductor/dielectric mix 0.55x (sort tax loses), +coated
+    # families 2.51x (wins). "auto" enables it exactly when the scene
+    # carries an expensive family (coated/hair/measured/subsurface).
+    sorted_shading: object = static_field(default="auto")
     sort_tile: int = static_field(default=8192)
     # Path-replay backprop (see trace_with_stats docstring): reverse-mode
     # differentiates a recorded shading-only replay instead of unrolling AD
@@ -392,8 +395,15 @@ class PathIntegrator:
             ops = {"wo": wo_l, "u2": u2, "uc": uc}
             if do_nee:
                 ops["wi"] = wi_l
+            sorted_on = self.sorted_shading
+            if sorted_on == "auto":
+                m = scene.materials
+                sorted_on = bool(
+                    m.any_coated or m.any_hair or m.any_measured
+                    or m.any_subsurface
+                )
             with jax.named_scope("path/shade"):
-                if self.sorted_shading:
+                if sorted_on:
                     from ..materials.sorted import shade_sorted
 
                     sh = shade_sorted(params, ops, _shade,
