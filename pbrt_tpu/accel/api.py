@@ -62,30 +62,36 @@ def ray_sort_perm(o, d, tmax=None):
     py = jnp.where(neg, (1 - jnp.abs(p[:, 0])) * jnp.sign(p[:, 1]), p[:, 1])
     qx = jnp.clip(((px + 1) * 127.5).astype(jnp.int32), 0, 255)
     qy = jnp.clip(((py + 1) * 127.5).astype(jnp.int32), 0, 255)
-    dcode = _spread8(qx) | (_spread8(qy) << 1)  # 16 bits
+    dcode = (_spread8(qx) | (_spread8(qy) << 1)).astype(jnp.uint32)  # 16 b
     lo = jnp.min(o, axis=0)
     hi = jnp.max(o, axis=0)
-    q = jnp.clip(
-        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 31).astype(jnp.int32), 0, 31
+    q8 = jnp.clip(
+        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 255).astype(jnp.int32),
+        0, 255,
     )
     ocode = (
-        _spread5(q[:, 0]) | (_spread5(q[:, 1]) << 1) | (_spread5(q[:, 2]) << 2)
-    )  # 15 bits
-    # Origin-major (origin cell high bits, direction low): camera rays share
-    # one origin so direction order still dominates them, while bounce rays
-    # group by surface locality — measured 8.8 s -> 3.4 s per 1M diffuse
-    # bounce rays vs a direction-major key on the same scene.
-    # ocode is 15 bits, dcode 16 → the combined key fits in 31 bits, so
-    # uint32 bit 31 is a real spare bit (int64 would silently truncate to
-    # int32 under the default x64-disabled config).
-    key = ((ocode.astype(jnp.uint32) << 16) | dcode.astype(jnp.uint32))
+        _spread8(q8[:, 0]) | (_spread8(q8[:, 1]) << 1)
+        | (_spread8(q8[:, 2]) << 2)
+    ).astype(jnp.uint32)  # 24 bits (256^3 cells)
+    # Two-key lexicographic sort: FINE origin Morton major (24 bits),
+    # full direction Morton minor. One 32-bit key cannot hold both at
+    # full precision; two stable argsorts give the exact lexicographic
+    # order for one extra sort (~17 ms / 1M rays). Measured on the
+    # killeroo-class mesh (scripts/micro_sortkeys.py, v5e): camera rays
+    # keep the direction-sorted 222 ms (shared origin cell -> direction
+    # order dominates), while diffuse bounce rays go 2692 -> ~850 ms: the
+    # old 32^3 origin cells scattered a tile over ~34 cells, wider than
+    # raster locality, which is why sorting HURT bounce rays in round 4.
     if tmax is not None:
         # Dead lanes (tmax <= 0) sort into their own tiles, where every
         # slab gate fails instantly (tmin < t_best=0 is never true) — the
         # tile-level form of wavefront dead-lane compaction: masked-out
         # rays stop charging the traversal kernel.
-        key = key | jnp.where(tmax <= 0.0, jnp.uint32(1) << 31, jnp.uint32(0))
-    perm = jnp.argsort(key)
+        ocode = ocode | jnp.where(
+            tmax <= 0.0, jnp.uint32(1) << 30, jnp.uint32(0)
+        )
+    perm1 = jnp.argsort(dcode, stable=True)
+    perm = perm1[jnp.argsort(ocode[perm1], stable=True)]
     inv = jnp.argsort(perm)
     return perm, inv
 
