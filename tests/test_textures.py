@@ -71,11 +71,13 @@ def test_image_texture_bilinear():
         tex, tid, uv, jnp.zeros((3, 3)), jnp.zeros((3, 3))
     )
     vals = _project(c)
-    # Center texels recovered.
-    assert vals[0].argmax() == 0  # red texel
-    assert vals[1].argmax() == 1  # green texel
-    assert vals[2].argmax() == 2  # blue texel
-    np.testing.assert_allclose(vals[0], img[0, 0], atol=0.03)
+    # Center texels recovered. Texture space is bottom-up: lookups flip t
+    # (textures.cpp:367 ImageTextureBase), so uv (0.25, 0.25) reads image
+    # row 1 (the bottom row of the top-down-stored array).
+    assert vals[0].argmax() == 2  # img[1, 0] blue texel
+    assert vals[1].argmin() == 2  # img[1, 1] yellow (low blue)
+    assert vals[2].argmax() == 0  # img[0, 0] red texel
+    np.testing.assert_allclose(vals[2], img[0, 0], atol=0.03)
 
 
 def test_textured_scene_renders():
