@@ -31,7 +31,7 @@ import sys
 import time
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-PARENT_BUDGET_S = 780.0
+PARENT_BUDGET_S = 840.0
 HEADLINE_TIMEOUT_S = 300.0
 EXTRA_TIMEOUT_S = 110.0
 
@@ -432,7 +432,8 @@ def main() -> None:
     ]
     # Heavy scenes (PLY mesh build + large cached programs) need more
     # child time even against a warm cache.
-    budgets = {"c2_killeroo": 220.0, "c4_cloud": 200.0}
+    budgets = {"c1_fwdbwd8": 200.0, "c2_killeroo": 220.0,
+               "c4_cloud": 200.0}
     for mode, lanes, key in plan:
         remaining = deadline - time.monotonic()
         if remaining < 45.0:
